@@ -1,0 +1,205 @@
+"""PDESystem: static structure + jitted linear-algebra surface.
+
+This is the TPU-native replacement for the reference's PDESYSLP
+(solver/lp_pde_central_diff.py:350-2244).  The structure (index arrays, pair
+tables) is NumPy, built once at layer construction and closed over as
+constants by jitted fill/solve functions.  All runtime methods are pure
+differentiable JAX on *per-sample* value vectors; batching is done with vmap
+by the callers — there is no block-diagonal flattening (reference
+:1171-1192), the batch stays an explicit array axis.
+
+Value-vector layout (per sample): [equation | initial | derivative] entries,
+each block in the construction order of ops/constraints.py.  RHS layout:
+[equation rows (cropped grid) | iv rows | derivative rows (zeros)].
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mech_nn_discovery_pde_tpu.ops import stencil
+from mech_nn_discovery_pde_tpu.ops.constraints import (
+    ConstraintSpec,
+    build_constraint_spec,
+)
+
+
+def _pair_tables(rows: np.ndarray, cols: np.ndarray):
+    """For AtA assembly: all ordered entry pairs (a, b) sharing a row.
+    Returns (pair_a, pair_b) int32 entry-index arrays.  Vectorized by grouping
+    rows by their entry count (only a handful of distinct counts exist)."""
+    order = np.argsort(rows, kind="stable")  # rows already sorted, but be safe
+    counts = np.bincount(rows)
+    # offsets of each row's first entry in `order`
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    pa_parts, pb_parts = [], []
+    for k in np.unique(counts):
+        if k == 0:
+            continue
+        rws = np.nonzero(counts == k)[0]
+        # (n_rows_k, k) entry indices for these rows
+        ent = order[offsets[rws][:, None] + np.arange(k)[None, :]]
+        ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        pa_parts.append(ent[:, ii.ravel()].ravel())
+        pb_parts.append(ent[:, jj.ravel()].ravel())
+    pa = np.concatenate(pa_parts).astype(np.int32)
+    pb = np.concatenate(pb_parts).astype(np.int32)
+    return pa, pb
+
+
+class PDESystem:
+    """Constraint system with jittable fills and linear operators."""
+
+    def __init__(self, spec: ConstraintSpec):
+        self.spec = spec
+        self.var_set = spec.var_set
+        self.coord_dims = spec.coord_dims
+        self.num_vars = spec.num_vars
+        self.n_rows = spec.n_rows
+        self.n_eq_rows = spec.n_eq_rows
+        self.n_init_rows = spec.n_init_rows
+        self.n_deriv_rows = spec.n_deriv_rows
+
+        self.rows_all = spec.rows_all  # sorted (block construction order)
+        self.cols_all = spec.cols_all
+        self.n_entries = int(self.cols_all.shape[0])
+        self.n_eq_entries = int(spec.eq_cols.shape[0])
+        self.n_init_entries = int(spec.init_cols.shape[0])
+        self.n_deriv_entries = int(spec.deriv_cols.shape[0])
+
+        # static permutation for column-sorted segment sums (rmatvec)
+        self.col_perm = np.argsort(self.cols_all, kind="stable").astype(np.int32)
+        self.cols_sorted = self.cols_all[self.col_perm]
+
+        self._init_values = spec.init_values_static.copy()
+
+    @classmethod
+    def build(
+        cls,
+        coord_dims: Sequence[int],
+        order: int = 2,
+        init_index_mi_list=None,
+        n_iv: int = 1,
+        step_size: float = 0.25,
+    ) -> "PDESystem":
+        return cls(
+            build_constraint_spec(coord_dims, order, init_index_mi_list, n_iv, step_size)
+        )
+
+    # ------------------------------------------------------------------
+    # runtime fills (per batch: leading bs axis)
+    # ------------------------------------------------------------------
+
+    def equation_values(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        return stencil.equation_values(self.spec, coeffs)
+
+    def derivative_values(self, steps_list) -> jnp.ndarray:
+        return stencil.derivative_values(self.spec, steps_list)
+
+    def fill_values(
+        self,
+        coeffs: jnp.ndarray,
+        steps_list,
+        dtype=None,
+    ) -> jnp.ndarray:
+        """(bs, n_entries) full value vector (reference
+        fill_constraints_torch :1766-1781, value part)."""
+        eq = self.equation_values(coeffs)
+        dv = self.derivative_values(steps_list)
+        dtype = dtype or eq.dtype
+        iv = jnp.broadcast_to(
+            jnp.asarray(self._init_values, dtype=dtype), (eq.shape[0], self.n_init_entries)
+        )
+        return jnp.concatenate([eq.astype(dtype), iv, dv.astype(dtype)], axis=1)
+
+    def fill_rhs(
+        self, rhs: jnp.ndarray, iv_rhs: Optional[jnp.ndarray], dtype=None
+    ) -> jnp.ndarray:
+        """(bs, n_rows) stacked rhs [equation | initial | derivative(0)]."""
+        eq_rhs = stencil.crop_rhs(self.spec, rhs)
+        bs = eq_rhs.shape[0]
+        dtype = dtype or eq_rhs.dtype
+        if iv_rhs is None:
+            iv_rhs = jnp.zeros((bs, 0), dtype=dtype)
+        iv_rhs = iv_rhs.reshape(bs, -1).astype(dtype)
+        if self.spec.n_iv > 1 and iv_rhs.shape[1] * self.spec.n_iv == self.n_init_rows:
+            iv_rhs = jnp.repeat(iv_rhs, self.spec.n_iv, axis=1)
+        dz = jnp.zeros((bs, self.n_deriv_rows), dtype=dtype)
+        return jnp.concatenate([eq_rhs.astype(dtype), iv_rhs, dz], axis=1)
+
+    # ------------------------------------------------------------------
+    # linear operators (single sample; vmap for batches)
+    # ------------------------------------------------------------------
+
+    def matvec(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """A @ x : (n_entries,), (num_vars,) -> (n_rows,)."""
+        prod = values * x[self.cols_all]
+        return jax.ops.segment_sum(
+            prod, self.rows_all, num_segments=self.n_rows, indices_are_sorted=True
+        )
+
+    def rmatvec(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """A.T @ y : (n_entries,), (n_rows,) -> (num_vars,)."""
+        prod = (values * y[self.rows_all])[self.col_perm]
+        return jax.ops.segment_sum(
+            prod, self.cols_sorted, num_segments=self.num_vars, indices_are_sorted=True
+        )
+
+    def normal_matvec(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """(A.T A) @ x, matrix-free."""
+        return self.rmatvec(values, self.matvec(values, x))
+
+    def normal_diag(self, values: jnp.ndarray) -> jnp.ndarray:
+        """diag(A.T A) = segment-sum of squared entry values per column."""
+        prod = (values * values)[self.col_perm]
+        return jax.ops.segment_sum(
+            prod, self.cols_sorted, num_segments=self.num_vars, indices_are_sorted=True
+        )
+
+    def normal_bound_vec(self, values: jnp.ndarray) -> jnp.ndarray:
+        """(|A|.T |A|) @ 1 — row-wise absolute sums of AtA upper bound, used
+        for Chebyshev/Jacobi eigenvalue bounds."""
+        a = jnp.abs(values)
+        return self.rmatvec(a, self.matvec(a, jnp.ones((self.num_vars,), values.dtype)))
+
+    # ---- dense normal-equation assembly (small grids / MG coarsest) ----
+
+    @cached_property
+    def _pairs(self):
+        pa, pb = _pair_tables(self.rows_all, self.cols_all)
+        lin = self.cols_all[pa].astype(np.int64) * self.num_vars + self.cols_all[pb]
+        # sort by linear target index for a sorted segment-sum scatter
+        perm = np.argsort(lin, kind="stable")
+        return pa[perm], pb[perm], lin[perm]
+
+    def assemble_normal(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Dense AtA (num_vars, num_vars) via pair-product scatter.  Avoids
+        the reference's dense A materialization + O(rows * n^2) bmm
+        (qp_dual_dense_normal_kkt.py:30-33): cost is O(nnz * stencil) instead.
+        """
+        pa, pb, lin = self._pairs
+        prod = values[pa] * values[pb]
+        flat = jax.ops.segment_sum(
+            prod, jnp.asarray(lin), num_segments=self.num_vars * self.num_vars,
+            indices_are_sorted=True,
+        )
+        return flat.reshape(self.num_vars, self.num_vars)
+
+    # ------------------------------------------------------------------
+    # solution reshaping / padding
+    # ------------------------------------------------------------------
+
+    def solution_reshaped(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(bs, num_vars) -> (bs, grid, n_mi) (reference :486-494)."""
+        return x.reshape(-1, self.var_set.grid_size, self.var_set.n_mi)
+
+    def pad_eq_rows(self, vals: jnp.ndarray) -> jnp.ndarray:
+        return stencil.pad_rhs(self.spec, vals)
+
+    def describe(self) -> str:
+        return self.spec.describe()
