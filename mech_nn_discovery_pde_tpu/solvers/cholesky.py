@@ -1,0 +1,95 @@
+"""Batched dense normal-equation solver (Cholesky), TPU precision policies.
+
+Replaces the reference dense path (qp_dual_dense_normal_kkt.py:30-43): instead
+of densifying A and forming AtA with a (bs, rows, n) x (bs, n, rows) bmm, the
+dense AtA is assembled directly from the static pair tables
+(PDESystem.assemble_normal), then factorized with batched Cholesky.
+
+Precision policies (config.PDEConfig.precision):
+  'f64'    — factor and solve in float64 (reference semantics; emulated and
+             ~50-150x slower than f32 on TPU).
+  'f32_ir' — TPU-native: symmetrically Jacobi-equilibrated AtA is factored in
+             float32; solutions are obtained by iterative refinement with
+             float64 residuals computed matrix-free through A.  This restores
+             ~float64 backward error whenever cond(equilibrated AtA) is well
+             inside 1/eps_f32, at float32 factorization cost.
+  'f32'    — everything float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mech_nn_discovery_pde_tpu.ops.system import PDESystem
+
+
+def _cho_solve_b(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched lower-Cholesky solve, (bs, n, n), (bs, n) -> (bs, n)."""
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+
+
+class DenseNormalSolver:
+    """LstsqInnerSolver via batched dense Cholesky of AtA."""
+
+    def __init__(
+        self,
+        system: PDESystem,
+        precision: str = "f64",
+        ir_steps: int = 3,
+        ridge: float = 0.0,
+    ):
+        self.system = system
+        self.precision = precision
+        self.ir_steps = ir_steps
+        self.ridge = ridge
+        self._assemble = jax.vmap(system.assemble_normal)
+        self._rmatvec = jax.vmap(system.rmatvec)
+        self._normal_mv = jax.vmap(system.normal_matvec)
+        self._diag = jax.vmap(system.normal_diag)
+
+    # ---- factorization ------------------------------------------------
+
+    def factor(self, values: jnp.ndarray) -> Any:
+        """Assemble and factor AtA for a batch of value vectors."""
+        ata = self._assemble(values)
+        n = self.system.num_vars
+        if self.ridge:
+            ata = ata + self.ridge * jnp.eye(n, dtype=ata.dtype)
+        if self.precision == "f32_ir":
+            # symmetric Jacobi equilibration, then float32 factorization
+            d = jnp.diagonal(ata, axis1=-2, axis2=-1)
+            s = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(ata.dtype).tiny))
+            scaled = ata * s[:, :, None] * s[:, None, :]
+            L = jnp.linalg.cholesky(scaled.astype(jnp.float32))
+            return (L, s)
+        L = jnp.linalg.cholesky(ata)
+        return (L, None)
+
+    def _solve_factored(
+        self, values: jnp.ndarray, rhs_n: jnp.ndarray, factor: Any
+    ) -> jnp.ndarray:
+        """Solve AtA x = rhs_n given a factorization (rhs_n in normal space)."""
+        L, s = factor
+        if self.precision == "f32_ir":
+            x = jnp.zeros_like(rhs_n)
+            r = rhs_n
+            for _ in range(self.ir_steps):
+                y32 = _cho_solve_b(L, (r * s).astype(jnp.float32))
+                x = x + (y32.astype(rhs_n.dtype) * s)
+                r = rhs_n - self._normal_mv(values, x)
+            return x
+        return _cho_solve_b(L, rhs_n)
+
+    # ---- LstsqInnerSolver protocol ------------------------------------
+
+    def solve(self, values: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, Any]:
+        factor = self.factor(values)
+        atb = self._rmatvec(values, rhs)
+        x = self._solve_factored(values, atb, factor)
+        return x, factor
+
+    def resolve(self, values, g, aux, backward: bool) -> jnp.ndarray:
+        return self._solve_factored(values, g, aux)
