@@ -65,22 +65,62 @@ def _stencil_distances(steps: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.concatenate([left, center, right], axis=1)  # (bs, d, 5)
 
 
+def fornberg_weights(x: jnp.ndarray, n_deriv: int) -> jnp.ndarray:
+    """Finite-difference weights at evaluation point 0 for arbitrarily spaced
+    stencil points, via Fornberg's recursion (Fornberg 1988, "Generation of
+    Finite Difference Formulas on Arbitrarily Spaced Grids").
+
+    x: (..., p) distinct stencil point coordinates (relative to 0).
+    Returns (..., p, n_deriv + 1) weights for derivative orders 0..n_deriv.
+
+    Closed-form and differentiable — replaces the reference's batched 5x5
+    Vandermonde `linalg.solve` (lp_pde_central_diff.py:1341,1422), which both
+    squares the conditioning and fails to compile in f64 on TPU (no f64 LU).
+    All loops are static and fully unrolled by the tracer.
+    """
+    p = x.shape[-1]
+    zero = jnp.zeros_like(x[..., 0])
+    # C[j][k]: weight of point j for derivative order k at the current stage
+    C = [[None] * (n_deriv + 1) for _ in range(p)]
+    C[0][0] = jnp.ones_like(zero)
+    for j in range(p):
+        for k in range(n_deriv + 1):
+            if C[j][k] is None:
+                C[j][k] = zero
+    c1 = jnp.ones_like(zero)
+    c4 = x[..., 0]
+    for i in range(1, p):
+        mn = min(i, n_deriv)
+        c2 = jnp.ones_like(zero)
+        c5 = c4
+        c4 = x[..., i]
+        for j in range(i):
+            c3 = x[..., i] - x[..., j]
+            c2 = c2 * c3
+            if j == i - 1:
+                for k in range(mn, 0, -1):
+                    C[i][k] = c1 * (k * C[i - 1][k - 1] - c5 * C[i - 1][k]) / c2
+                C[i][0] = -c1 * c5 * C[i - 1][0] / c2
+            for k in range(mn, 0, -1):
+                C[j][k] = (c4 * C[j][k] - k * C[j][k - 1]) / c3
+            C[j][0] = c4 * C[j][0] / c3
+        c1 = c2
+    return jnp.stack(
+        [jnp.stack([C[j][k] for k in range(n_deriv + 1)], axis=-1) for j in range(p)],
+        axis=-2,
+    )
+
+
 def stencil_weights(steps: jnp.ndarray, d: int, order: int) -> jnp.ndarray:
-    """Solve for 4th-order 5-point derivative weights at every position.
+    """4th-order 5-point derivative weights at every grid position.
 
     Returns (bs, d, n_cmi, 6): for derivative order k (1-based), entries
     [w_0..w_4 scaled by h^k, -h^k] where h is the local reference step, so the
     row reads  sum_j w_j u(x_j) - h^k * u^(k) = 0 scaled through by h^k
     (keeps magnitudes O(1); matches the reference scaling :1429-1430)."""
     x = _stencil_distances(steps, d)  # (bs, d, 5)
-    # Vandermonde system: M[i, j] = x_j^i, rhs columns e_1 (f') and 2 e_2 (f'')
-    powers = jnp.stack([jnp.ones_like(x), x, x**2, x**3, x**4], axis=-2)
     n_cmi = order  # one stencil per derivative order 1..order
-    b_cols = [jnp.array([0.0, 1, 0, 0, 0], dtype=x.dtype)]
-    if order == 2:
-        b_cols.append(jnp.array([0.0, 0, 2, 0, 0], dtype=x.dtype))
-    b = jnp.stack(b_cols, axis=-1)  # (5, n_cmi)
-    w = jnp.linalg.solve(powers, jnp.broadcast_to(b, powers.shape[:-2] + b.shape))
+    w = fornberg_weights(x, order)[..., 1:]  # (bs, d, 5, order)
     # local scale h: steps[p] for p < d-1, steps[d-2] for the last position
     h = jnp.concatenate([steps, steps[:, -1:]], axis=1)  # (bs, d)
     out = []
