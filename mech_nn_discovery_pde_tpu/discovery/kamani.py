@@ -1,0 +1,218 @@
+"""Kamani rheology ODE discovery (dense path, learned exponents).
+
+Rebuilds discovery/kamani.py: learn the constitutive ODE
+
+    p0(g') sigma_t + p3(g') sigma = p1(g') g' + p2(g') g''
+
+where each p_i(g') = c_{i0} + c_{i1}|g'|^{e_{i0}} + c_{i2}|g'|^{e_{i1}} with
+learned coefficients AND learned exponents e = 2 tanh(.) in [-2, 2]
+(:194-216); sigma-coefficients are pinned (p3 = sigma's own coefficient row
+fixed to [1, 0, 0], :205-208) to fix the overall scale.  Data: stress
+trajectories of the true Kamani model under oscillatory shear, solver_dim
+(24,), bs 2048.  Closed-loop validation: the learned ODE is rolled out with
+solve_ivp and overlaid on true Lissajous trajectories every 10 epochs
+(:352-455).
+
+Run:  python -m mech_nn_discovery_pde_tpu.discovery.kamani
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mech_nn_discovery_pde_tpu.config import PDEConfig
+from mech_nn_discovery_pde_tpu.data.datasets import KamaniDataset, PatchLoader
+from mech_nn_discovery_pde_tpu.data.generate import KAMANI_PARAMS, kamani_rhs
+from mech_nn_discovery_pde_tpu.discovery.common import fixed_steps, make_update
+from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
+from mech_nn_discovery_pde_tpu.models.paramnet import ParamNet
+from mech_nn_discovery_pde_tpu.models.resnet import ResNet1D
+from mech_nn_discovery_pde_tpu.utils import logger as logging_util
+from mech_nn_discovery_pde_tpu.utils import rundir
+
+
+@dataclass
+class KamaniConfig:
+    solver_dim: tuple = (24,)
+    batch_size: int = 2048
+    lr: float = 5e-6
+    param_l1: float = 0.01
+    epochs: int = 5000
+    steps_per_epoch: Optional[int] = None
+    seed: int = 10
+    data_root: str = "data"
+    plot_every: int = 10
+    pde: PDEConfig = field(default_factory=lambda: PDEConfig(precision="f32_ir"))
+
+
+class KamaniDiscovery:
+    IV_LIST = [lambda nt: (0, 0, [0], [0])]
+
+    def __init__(self, cfg: KamaniConfig, ds: KamaniDataset):
+        self.cfg = cfg
+        self.ds = ds
+        self.layer = PDEDenseLayer(
+            bs=cfg.batch_size, coord_dims=cfg.solver_dim, order=2, n_ind_dim=1,
+            n_iv=1, init_index_mi_list=self.IV_LIST, solver_dbl=True, config=cfg.pde,
+        )
+        self.param_net = ParamNet(n_out=4 * 3, depth=2)
+        self.param_exp_net = ParamNet(n_out=4 * 2, depth=2)
+        self.transform = ResNet1D(out_channels=1, in_channels=1)
+        self.steps = [fixed_steps(ds.t_step, cfg.batch_size, cfg.solver_dim[0])]
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        L = self.cfg.solver_dim[0]
+        return {
+            "pnet": self.param_net.init(k1),
+            "enet": self.param_exp_net.init(k2),
+            "tnet": self.transform.init(k3, jnp.zeros((1, L, 1))),
+        }
+
+    def get_params(self, params):
+        pr = self.param_net.apply(params["pnet"]).reshape(4, 3)
+        er = 2.0 * jnp.tanh(self.param_exp_net.apply(params["enet"])).reshape(4, 2)
+        # pin the sigma row to fix the coefficient scale (:205-208)
+        pr = pr.at[3, 0].set(1.0).at[3, 1].set(0.0).at[3, 2].set(0.0)
+        return pr, er
+
+    def forward(self, params, u, shear_d, shear_dd):
+        cfg = self.cfg
+        bs = cfg.batch_size
+        up = self.transform.apply(params["tnet"], u[..., None])[..., 0]
+        iv_rhs = up[:, 0:1]
+
+        pr, er = self.get_params(params)
+        sa = jnp.abs(shear_d)
+
+        def basis_row(i):
+            return (
+                pr[i, 0]
+                + pr[i, 1] * sa ** er[i, 0]
+                + pr[i, 2] * sa ** er[i, 1]
+            )
+
+        p0, p1, p2, p3 = (basis_row(i) for i in range(4))
+
+        coeffs = jnp.zeros((bs, self.layer.grid_size, self.layer.n_orders))
+        coeffs = coeffs.at[..., 0].set(p3)  # sigma
+        coeffs = coeffs.at[..., 1].set(p0)  # sigma_t
+        rhs = p1 * shear_d + p2 * shear_dd
+
+        u0, _, _ = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
+        return u0.reshape(bs, -1), up, (pr, er)
+
+    def loss_fn(self, params, u, shear_d, shear_dd):
+        bs = self.cfg.batch_size
+        u0, up, (pr, er) = self.forward(params, u, shear_d, shear_dd)
+        target = u.reshape(bs, -1)
+        u_loss = jnp.abs(u0 - target).mean(axis=-1)
+        var_loss = jnp.abs(up.reshape(bs, -1) - u0).mean(axis=-1)
+        param_loss = jnp.abs(pr).sum()
+        loss = u_loss.mean() + var_loss.mean() + self.cfg.param_l1 * param_loss
+        return loss, {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
+
+
+# ---------------------------------------------------------------------------
+# closed-loop validation: roll out the learned ODE (reference :352-455)
+# ---------------------------------------------------------------------------
+
+
+def learned_rhs(t, tau, amplitude, frequency, pr, er):
+    sr = amplitude * frequency * np.cos(frequency * t)
+    srr = -amplitude * frequency**2 * np.sin(frequency * t)
+    sa = np.abs(sr)
+    p = [pr[i, 0] + pr[i, 1] * sa ** er[i, 0] + pr[i, 2] * sa ** er[i, 1] for i in range(4)]
+    return (p[1] * sr + p[2] * srr - p[3] * tau) / p[0]
+
+
+def simulate_overlay(epoch, pr, er, log_dir, amplitudes=(0.5, 1, 5, 10, 11, 12)):
+    """Roll out learned vs true ODE and save Lissajous overlays."""
+    from scipy.integrate import solve_ivp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    freq = 1.0
+    t_max = 5 * 2 * np.pi
+    t_eval = np.linspace(0, t_max, 1000)
+    fig, ax = plt.subplots(1, 2, figsize=(14, 7))
+    for a in amplitudes:
+        true = solve_ivp(kamani_rhs, [0, t_max], [0.0], t_eval=t_eval, args=(a, freq))
+        learned = solve_ivp(
+            learned_rhs, [0, t_max], [0.0], t_eval=t_eval, args=(a, freq, pr, er)
+        )
+        strain = a * np.sin(freq * t_eval)
+        if true.y.shape[1] == len(t_eval):
+            ax[0].plot(strain, true.y[0], label=f"$\\gamma_0$={a} true")
+        if learned.y.shape[1] == len(t_eval):
+            ax[1].plot(strain, learned.y[0], label=f"$\\gamma_0$={a} learned")
+    for a_, title in zip(ax, ["True equation", "Learned equation"]):
+        a_.set_xlabel("Strain")
+        a_.set_ylabel("Stress [Pa]")
+        a_.set_title(title)
+        a_.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(log_dir, f"fig_kamani_{epoch:04d}.png"), dpi=150)
+    plt.close(fig)
+
+
+def true_params():
+    p = KAMANI_PARAMS
+    pr = np.array(
+        [
+            [p["eta_s"] / p["G"], p["tau_y"] / p["G"], p["k"] / p["G"]],
+            [0, p["tau_y"], p["k"]],
+            [0, p["tau_y"] / p["G"] * p["eta_s"], p["k"] / p["G"] * p["eta_s"]],
+            [1.0, 0, 0],
+        ]
+    )
+    er = np.array([[-1, p["n"] - 1]] * 4)
+    return pr, er
+
+
+def train(cfg: Optional[KamaniConfig] = None, log=None):
+    cfg = cfg or KamaniConfig()
+    log_dir, run_id = rundir.create_log_dir(root="logs/kamani", reuse=False)
+    rundir.write_source_files(log_dir)
+    log = log or logging_util.setup(log_dir, name="kamani")
+    log.info(f"Kamani rheology discovery, solver dim {cfg.solver_dim}")
+
+    ds = KamaniDataset(solver_dim=cfg.solver_dim, data_root=cfg.data_root)
+    model = KamaniDiscovery(cfg, ds)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    update = make_update(model.loss_fn, optimizer)
+    loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)
+
+    tp, te = true_params()
+    for epoch in range(cfg.epochs):
+        losses = []
+        for i, (t, u, s, sd, sdd) in enumerate(loader):
+            if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
+                break
+            params, opt_state, loss, aux = update(
+                params, opt_state, jnp.asarray(u), jnp.asarray(sd), jnp.asarray(sdd)
+            )
+            losses.append(float(loss))
+        pr, er = (np.asarray(a) for a in model.get_params(params))
+        log.info(f"param {pr}\nexps {er}")
+        log.info(f"True param {tp}\nTrue exp {te}")
+        log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
+        if cfg.plot_every and (epoch + 1) % cfg.plot_every == 0:
+            simulate_overlay(epoch, pr, er, log_dir)
+    return params, model
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_enable_x64", True)
+    train()

@@ -103,7 +103,7 @@ class PDEDenseLayer:
         values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
         rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
 
-        x = self._solve(values, rhs_vec)
+        x = self._solve(values, rhs_vec, None)
 
         u = self.system.solution_reshaped(x)
         u = u.reshape(self.bs, self.n_ind_dim, self.grid_size, self.n_orders)

@@ -1,0 +1,98 @@
+"""MultigridLayer: the sparse-path differentiable PDE layer.
+
+Drop-in swap for PDEDenseLayer (identical call contract; reference
+MultigridLayer, solver/multigrid.py:536-623): same
+(coeffs, rhs, iv_rhs, steps_list) -> (u0, u, eps), but the solve is
+FGMRES on the matrix-free normal equations, preconditioned by a geometric
+multigrid V-cycle over re-discretized coarse grids.  Intended for large
+grids where dense Cholesky is infeasible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mech_nn_discovery_pde_tpu.config import PDEConfig, default_config
+from mech_nn_discovery_pde_tpu.ops.normal_solve import make_lstsq_solve
+from mech_nn_discovery_pde_tpu.solvers.multigrid import (
+    MultigridNormalSolver,
+    MultigridSolver,
+)
+
+
+class MultigridLayer:
+    def __init__(
+        self,
+        bs: int,
+        coord_dims: Sequence[int],
+        order: int = 2,
+        n_ind_dim: int = 1,
+        n_iv: int = 1,
+        init_index_mi_list=None,
+        n_iv_steps: int = 1,
+        solver_dbl: bool = True,
+        double_ret: bool = False,
+        evolution: bool = False,
+        downsample_first: bool = True,
+        n_grid: int = 2,
+        gamma: float = 0.5,
+        alpha: float = 0.1,
+        config: Optional[PDEConfig] = None,
+        device=None,
+    ):
+        del n_iv_steps, evolution, gamma, alpha, double_ret, device
+        self.bs = bs
+        self.coord_dims = tuple(coord_dims)
+        self.n_coord = len(self.coord_dims)
+        self.order = order
+        self.n_ind_dim = n_ind_dim
+        self.n_iv = n_iv
+        self.config = config or default_config
+        self.solver_dbl = solver_dbl
+
+        self.mg_solver = MultigridSolver(
+            bs=bs * n_ind_dim,
+            order=order,
+            n_ind_dim=n_ind_dim,
+            n_iv=n_iv,
+            init_index_mi_list=init_index_mi_list or [],
+            coord_dims=self.coord_dims,
+            solver_dbl=solver_dbl,
+            downsample_first=downsample_first,
+            n_grid=n_grid,
+            config=self.config,
+        )
+        self.system = self.mg_solver.systems[0]
+        self.n_orders = self.system.var_set.n_mi
+        self.grid_size = self.system.var_set.grid_size
+        self.dtype = self.mg_solver.dtype
+
+        self.inner = MultigridNormalSolver(self.mg_solver)
+        self._solve = make_lstsq_solve(self.system, self.inner)
+
+    def __call__(self, coeffs, rhs, iv_rhs, steps_list):
+        b = self.bs * self.n_ind_dim
+        coeffs = coeffs.reshape(b, self.grid_size, self.n_orders).astype(self.dtype)
+        rhs = rhs.reshape(b, self.grid_size).astype(self.dtype)
+        if iv_rhs is not None:
+            iv_rhs = iv_rhs.reshape(b, -1).astype(self.dtype)
+        steps_list = [
+            steps_list[i].reshape(b, self.coord_dims[i] - 1).astype(self.dtype)
+            for i in range(self.n_coord)
+        ]
+
+        values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
+        rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
+        hier = self.mg_solver.build_hierarchy(
+            coeffs, rhs, iv_rhs, steps_list, values
+        )
+
+        x = self._solve(values, rhs_vec, hier)
+
+        u = self.system.solution_reshaped(x)
+        u = u.reshape(self.bs, self.n_ind_dim, self.grid_size, self.n_orders)
+        u0 = u[..., 0]
+        return u0, u, None

@@ -102,6 +102,11 @@ class ConstraintSpec:
     # per-coord central-stencil layout metadata used by the runtime fill
     # (n_central_mi = number of derivative orders handled per point per coord)
     n_central_mi: int = 0
+    # sub-block boundaries inside the derivative block (central | fwd | bwd
+    # taylor), in rows and entries — used for per-block spectral rescaling of
+    # multigrid coarse operators
+    n_central_rows: int = 0
+    n_central_entries: int = 0
 
     # ---- derived -------------------------------------------------------
 
@@ -323,6 +328,7 @@ def build_constraint_spec(
     # derivative block: [central | forward | backward], each over coords
     dr_parts, dc_parts, dv_parts = [], [], []
     row_off = 0
+    n_central_rows = n_central_entries = 0
     for builder, kwargs in (
         (_central_block_coord, {}),
         (_taylor_block_coord, {"forward": True}),
@@ -334,6 +340,9 @@ def build_constraint_spec(
             dc_parts.append(c)
             dv_parts.append(v)
             row_off += n
+            if builder is _central_block_coord:
+                n_central_rows += n
+                n_central_entries += c.shape[0]
     deriv_rows = np.concatenate(dr_parts).astype(np.int32)
     deriv_cols = np.concatenate(dc_parts).astype(np.int32)
     deriv_vals = np.concatenate(dv_parts)
@@ -362,6 +371,8 @@ def build_constraint_spec(
         deriv_values_static=deriv_vals,
         iv_boxes=boxes,
         n_central_mi=len(vs.central_mi_indices(0)),
+        n_central_rows=n_central_rows,
+        n_central_entries=n_central_entries,
     )
 
 

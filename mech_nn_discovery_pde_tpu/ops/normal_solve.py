@@ -32,10 +32,13 @@ from mech_nn_discovery_pde_tpu.ops.system import PDESystem
 
 
 class LstsqInnerSolver(Protocol):
-    def solve(self, values: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, Any]:
+    def solve(
+        self, values: jnp.ndarray, rhs: jnp.ndarray, pdata: Any
+    ) -> Tuple[jnp.ndarray, Any]:
         """Forward solve: (bs, n_entries), (bs, n_rows) -> (x (bs, num_vars),
         aux) where aux carries whatever the backward solve wants to reuse
-        (factors, hierarchies, ...)."""
+        (factors, hierarchies, ...).  `pdata` is opaque preconditioner data
+        built by the caller (None for direct solvers)."""
         ...
 
     def resolve(
@@ -46,22 +49,28 @@ class LstsqInnerSolver(Protocol):
 
 
 def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
-    """Build the custom-VJP batched solve function for one PDESystem."""
+    """Build the custom-VJP batched solve function for one PDESystem.
+
+    Signature of the returned function: solve(values, rhs, pdata) -> x, where
+    pdata is non-differentiated auxiliary data (e.g. the multigrid hierarchy;
+    preconditioning affects convergence only, so its cotangent is zero —
+    matching the reference, which builds coarse grids inside the
+    autograd.Function forward, outside the tape)."""
 
     matvec_b = jax.vmap(system.matvec)
 
     @jax.custom_vjp
-    def lstsq_solve(values: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-        x, _ = inner.solve(values, rhs)
+    def lstsq_solve(values, rhs, pdata):
+        x, _ = inner.solve(values, rhs, pdata)
         return x
 
-    def fwd(values, rhs):
-        x, aux = inner.solve(values, rhs)
+    def fwd(values, rhs, pdata):
+        x, aux = inner.solve(values, rhs, pdata)
         lam = rhs - matvec_b(values, x)
-        return x, (values, x, lam, aux)
+        return x, (values, x, lam, aux, pdata)
 
     def bwd(res, g):
-        values, x, lam, aux = res
+        values, x, lam, aux, pdata = res
         dz = inner.resolve(values, g, aux, backward=True)
         w = matvec_b(values, dz)  # A dz
         rows = system.rows_all
@@ -70,7 +79,8 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
             jnp.take(lam, rows, axis=1) * jnp.take(dz, cols, axis=1)
             - jnp.take(w, rows, axis=1) * jnp.take(x, cols, axis=1)
         )
-        return values_bar.astype(values.dtype), w.astype(g.dtype)
+        pdata_bar = jax.tree.map(jnp.zeros_like, pdata)
+        return values_bar.astype(values.dtype), w.astype(g.dtype), pdata_bar
 
     lstsq_solve.defvjp(fwd, bwd)
     return lstsq_solve

@@ -170,8 +170,12 @@ class PDESystem:
     # ---- dense normal-equation assembly (small grids / MG coarsest) ----
 
     @cached_property
+    def _raw_pairs(self):
+        return _pair_tables(self.rows_all, self.cols_all)
+
+    @cached_property
     def _pairs(self):
-        pa, pb = _pair_tables(self.rows_all, self.cols_all)
+        pa, pb = self._raw_pairs
         lin = self.cols_all[pa].astype(np.int64) * self.num_vars + self.cols_all[pb]
         # sort by linear target index for a sorted segment-sum scatter
         perm = np.argsort(lin, kind="stable")
@@ -189,6 +193,100 @@ class PDESystem:
             indices_are_sorted=True,
         )
         return flat.reshape(self.num_vars, self.num_vars)
+
+    @cached_property
+    def _point_block_pairs(self):
+        """Entry pairs sharing a row AND a grid point — the (n_mi x n_mi)
+        point-diagonal blocks of AtA, used by the point-block-Jacobi smoother."""
+        pa, pb = self._raw_pairs
+        n_mi = self.var_set.n_mi
+        ca, cb = self.cols_all[pa], self.cols_all[pb]
+        same = (ca // n_mi) == (cb // n_mi)
+        pa, pb, ca, cb = pa[same], pb[same], ca[same], cb[same]
+        lin = (ca // n_mi).astype(np.int64) * n_mi * n_mi + (ca % n_mi) * n_mi + (
+            cb % n_mi
+        )
+        perm = np.argsort(lin, kind="stable")
+        return pa[perm], pb[perm], lin[perm]
+
+    def assemble_point_blocks(self, values: jnp.ndarray) -> jnp.ndarray:
+        """(grid, n_mi, n_mi) point-diagonal blocks of AtA."""
+        pa, pb, lin = self._point_block_pairs
+        n_mi = self.var_set.n_mi
+        grid = self.var_set.grid_size
+        prod = values[pa] * values[pb]
+        flat = jax.ops.segment_sum(
+            prod, jnp.asarray(lin), num_segments=grid * n_mi * n_mi,
+            indices_are_sorted=True,
+        )
+        return flat.reshape(grid, n_mi, n_mi)
+
+    def _line_block_pairs(self, axis: int):
+        """Entry pairs sharing a row AND a grid line along `axis` — the
+        (d_axis*n_mi)^2 line-diagonal blocks of AtA.  Block id = flat index of
+        the grid point with `axis` removed; within-block index =
+        (position along axis, mi)."""
+        pa, pb = self._raw_pairs
+        n_mi = self.var_set.n_mi
+        dims = self.var_set.coord_dims
+        gi = self.var_set.grid_indices()  # (grid, n_coord)
+        ca, cb = self.cols_all[pa], self.cols_all[pb]
+        pta, ptb = ca // n_mi, cb // n_mi
+        other = [c for c in range(len(dims)) if c != axis]
+        # flat index over the non-axis dims
+        if other:
+            line_a = np.ravel_multi_index(
+                tuple(gi[pta, c] for c in other), tuple(dims[c] for c in other)
+            )
+            line_b = np.ravel_multi_index(
+                tuple(gi[ptb, c] for c in other), tuple(dims[c] for c in other)
+            )
+        else:
+            line_a = np.zeros(pta.shape, dtype=np.int64)
+            line_b = line_a
+        same = line_a == line_b
+        pa, pb = pa[same], pb[same]
+        blk = line_a[same].astype(np.int64)
+        wa = gi[ca[same] // n_mi, axis] * n_mi + ca[same] % n_mi
+        wb = gi[cb[same] // n_mi, axis] * n_mi + cb[same] % n_mi
+        bw = dims[axis] * n_mi
+        lin = blk * bw * bw + wa * bw + wb
+        perm = np.argsort(lin, kind="stable")
+        n_blocks = int(np.prod([dims[c] for c in other])) if other else 1
+        return pa[perm], pb[perm], lin[perm], n_blocks, bw
+
+    @cached_property
+    def _line_pairs_axis0(self):
+        return self._line_block_pairs(0)
+
+    def assemble_line_blocks(self, values: jnp.ndarray, axis: int = 0):
+        """(n_lines, bw, bw) line-diagonal blocks of AtA along `axis`
+        (bw = dims[axis] * n_mi)."""
+        assert axis == 0, "only time-line blocks are precomputed"
+        pa, pb, lin, n_blocks, bw = self._line_pairs_axis0
+        prod = values[pa] * values[pb]
+        flat = jax.ops.segment_sum(
+            prod, jnp.asarray(lin), num_segments=n_blocks * bw * bw,
+            indices_are_sorted=True,
+        )
+        return flat.reshape(n_blocks, bw, bw)
+
+    def line_vec_to_blocks(self, r: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """(num_vars,) -> (n_lines, bw): gather each line's variables."""
+        dims = self.var_set.coord_dims
+        n_mi = self.var_set.n_mi
+        x = r.reshape(dims + (n_mi,))
+        # move `axis` in front of the mi axis, flatten the rest as lines
+        x = jnp.moveaxis(x, axis, -2)  # (..., d_axis, n_mi)
+        return x.reshape(-1, dims[axis] * n_mi)
+
+    def line_blocks_to_vec(self, z: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        dims = self.var_set.coord_dims
+        n_mi = self.var_set.n_mi
+        other = tuple(dims[c] for c in range(len(dims)) if c != axis)
+        x = z.reshape(other + (dims[axis], n_mi))
+        x = jnp.moveaxis(x, -2, axis)
+        return x.reshape(-1)
 
     # ------------------------------------------------------------------
     # solution reshaping / padding

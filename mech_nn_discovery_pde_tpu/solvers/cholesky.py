@@ -85,7 +85,9 @@ class DenseNormalSolver:
 
     # ---- LstsqInnerSolver protocol ------------------------------------
 
-    def solve(self, values: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, Any]:
+    def solve(
+        self, values: jnp.ndarray, rhs: jnp.ndarray, pdata: Any = None
+    ) -> Tuple[jnp.ndarray, Any]:
         factor = self.factor(values)
         atb = self._rmatvec(values, rhs)
         x = self._solve_factored(values, atb, factor)

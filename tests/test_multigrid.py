@@ -1,0 +1,198 @@
+"""Multigrid preconditioner + MultigridLayer tests.
+
+Validates (a) V-cycle actually accelerates FGMRES, (b) MultigridLayer is a
+drop-in swap for PDEDenseLayer (same solution), (c) gradients flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mech_nn_discovery_pde_tpu.config import PDEConfig
+from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
+from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
+
+
+IVS_2D = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+
+
+def transport_args(bs, dims, layer, k_mode=1):
+    coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))
+    coeffs[..., 1] = 1.0
+    coeffs[..., 2] = 1.0
+    rhs = np.zeros((bs, layer.grid_size))
+    x = np.linspace(0, 2 * np.pi, dims[1], endpoint=False)
+    iv = np.stack([np.sin((k + k_mode) * x) for k in range(bs)], axis=0)
+    steps = [np.full((bs, dims[0] - 1), 0.01), np.full((bs, dims[1] - 1), 2 * np.pi / dims[1])]
+    return (
+        jnp.asarray(coeffs),
+        jnp.asarray(rhs),
+        jnp.asarray(iv),
+        [jnp.asarray(s) for s in steps],
+    )
+
+
+def test_mg_layer_matches_dense():
+    """MG layer converges to the dense direct solution.  The normal system is
+    severely ill-conditioned, so solution-space agreement requires a larger
+    FGMRES budget than the residual target alone suggests (the reference's 40
+    iterations leave ~1e-3 relative residual and correspondingly larger
+    solution error; with our smoother the same budget reaches ~2e-4)."""
+    bs, dims = 2, (16, 16)
+    cfg = PDEConfig(precision="f64")
+    big = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=160,
+                    mg_fgmres_restarts_forward=16, mg_fgmres_tol=1e-9)
+    dense = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                          init_index_mi_list=IVS_2D, solver_dbl=True, config=cfg)
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                        config=big)
+    args = transport_args(bs, dims, dense)
+    u_dense = np.asarray(dense(*args)[0])
+    u_mg = np.asarray(mg(*args)[0])
+    err = np.abs(u_dense - u_mg).max() / max(np.abs(u_dense).max(), 1e-12)
+    # solution error is conditioning-amplified relative to the residual
+    # (near-null smooth modes); the reference's own 40-iteration GS-V-cycle
+    # solves carry ~300x larger residuals than this configuration
+    assert err < 5e-2, f"dense-vs-mg mismatch {err}"
+
+
+def test_vcycle_accelerates_fgmres():
+    """FGMRES with the MG preconditioner reaches tol in far fewer iterations
+    than without (the BASELINE acceptance criterion is iteration parity with
+    the reference's GS-smoothed V-cycle at the same budgets)."""
+    from mech_nn_discovery_pde_tpu.solvers import krylov
+
+    bs, dims = 1, (16, 32)
+    mg_layer = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1,
+                              n_iv=1, init_index_mi_list=IVS_2D, solver_dbl=True,
+                              n_grid=2, config=PDEConfig(precision="f64"))
+    mgs = mg_layer.mg_solver
+    sys0 = mgs.systems[0]
+    args = transport_args(bs, dims, mg_layer)
+    coeffs, rhs, iv, steps = args
+    coeffs = coeffs.reshape(bs, -1, mg_layer.n_orders).astype(jnp.float64)
+    rhs2 = rhs.reshape(bs, -1).astype(jnp.float64)
+    iv2 = iv.reshape(bs, -1).astype(jnp.float64)
+    values = sys0.fill_values(coeffs, steps, dtype=jnp.float64)
+    rhs_vec = sys0.fill_rhs(rhs2, iv2, dtype=jnp.float64)
+    hier = mgs.build_hierarchy(coeffs, rhs2, iv2, steps, values)
+
+    atb = jax.vmap(sys0.rmatvec)(values, rhs_vec)
+    v0, b0 = values[0], atb[0]
+    hier0 = jax.tree.map(lambda a: a[0], hier)
+    # The reference's 5+5-sweep GS V-cycle FGMRES(10) reaches ~1.5e-3
+    # relative residual in its 40-iteration budget on this problem (measured
+    # by replicating its algorithm in scipy); require 1e-4 — ~15x better at
+    # the same budget.
+    tol = 1e-4 * float(jnp.linalg.norm(b0))
+
+    plain = krylov.fgmres(lambda v: sys0.normal_matvec(v0, v), b0,
+                          restart=10, maxiter=400, atol=tol, tol=0.0)
+    prec = krylov.fgmres(lambda v: sys0.normal_matvec(v0, v), b0,
+                         precond=lambda r: mgs.precondition(hier0, r),
+                         restart=10, maxiter=400, atol=tol, tol=0.0)
+    assert float(prec.rnorm) <= tol * 1.01
+    assert int(prec.iters) <= 40, f"MG-FGMRES took {int(prec.iters)} iters"
+    assert int(prec.iters) * 3 <= int(plain.iters) or int(plain.iters) >= 400
+
+
+def test_mg_layer_gradients_descent():
+    """On the severely ill-conditioned transport system the IFT gradient
+    through the 40-iteration FGMRES is *truncated*: near-null components
+    (amplified by 1/lambda) are unreachable by any iterative solver, exactly
+    as in the reference's sparse path.  The practical requirements are that
+    the gradient is finite and is a descent direction for the loss."""
+    bs, dims = 1, (16, 16)
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                        config=PDEConfig(precision="f64"))
+    args = transport_args(bs, dims, mg)
+
+    def loss(coeffs, rhs, iv, steps):
+        u0, u, _ = mg(coeffs, rhs, iv, steps)
+        return jnp.sum(u0**2) + jnp.sum(u[..., 1] ** 2)
+
+    l0, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    for gi in g:
+        assert bool(jnp.isfinite(gi).all())
+    assert float(jnp.abs(g[0]).max()) > 0
+    # descent: a small step against the gradient reduces the loss
+    lr = 1e-4 / max(float(jnp.linalg.norm(g[0])), 1.0)
+    l1 = float(loss(args[0] - lr * g[0], args[1] - lr * g[1], args[2] - lr * g[2], args[3]))
+    assert l1 < float(l0), (l1, float(l0))
+
+
+def test_mg_layer_gradients_match_fd_well_conditioned():
+    """On a well-conditioned small ODE system the MG-path IFT gradients match
+    finite differences."""
+    bs, dims = 1, (12,)
+    ivs = [lambda nt: (0, 0, [0], [0])]
+    cfg = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=120,
+                    mg_fgmres_restarts_forward=12,
+                    mg_fgmres_max_iter_backward=120,
+                    mg_fgmres_restarts_backward=12, mg_fgmres_tol=1e-12)
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=ivs, solver_dbl=True, n_grid=2,
+                        config=cfg)
+    rng = np.random.default_rng(0)
+    n = dims[0]
+    coeffs = rng.standard_normal((bs, n, 3)) * 0.3
+    coeffs[..., 1] += 1.0
+    rhs = 0.1 * rng.standard_normal((bs, n))
+    iv = rng.standard_normal((bs, 1))
+    steps = [jnp.asarray(0.1 + 0.02 * rng.random((bs, n - 1)))]
+    w = rng.standard_normal((bs, 1, n))
+
+    def loss(coeffs, rhs, iv):
+        u0, u, _ = mg(coeffs, rhs, iv, steps)
+        return jnp.sum(jnp.asarray(w) * u0)
+
+    args = (jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv))
+    g = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    eps = 1e-6
+    for ai in range(3):
+        a = np.asarray(args[ai])
+        for _ in range(3):
+            idx = tuple(rng.integers(0, s) for s in a.shape)
+            ap, am = a.copy(), a.copy()
+            ap[idx] += eps
+            am[idx] -= eps
+            largs = list(args)
+            largs[ai] = jnp.asarray(ap)
+            lp = float(loss(*largs))
+            largs[ai] = jnp.asarray(am)
+            lm = float(loss(*largs))
+            fd = (lp - lm) / (2 * eps)
+            ad = float(np.asarray(g[ai])[idx])
+            assert np.isclose(ad, fd, rtol=1e-3, atol=1e-7), (ai, idx, ad, fd)
+
+
+def test_mg_3d_small():
+    """3D (GL-shaped) hierarchy with downsample_first=False."""
+    dims = (6, 16, 16)
+    ivs = [
+        lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
+        lambda nt, nx, ny: (1, 0, [1, 0, 0], [nt - 1, 0, ny - 1]),
+        lambda nt, nx, ny: (2, 0, [1, 1, 0], [nt - 1, nx - 1, 0]),
+        lambda nt, nx, ny: (1, 0, [1, nx - 1, 1], [nt - 1, nx - 1, ny - 1]),
+        lambda nt, nx, ny: (2, 0, [1, 1, ny - 1], [nt - 1, nx - 2, ny - 1]),
+    ]
+    bs = 1
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=ivs, solver_dbl=True, n_grid=2,
+                        downsample_first=False, config=PDEConfig(precision="f64"))
+    rng = np.random.default_rng(0)
+    gs = mg.grid_size
+    coeffs = np.zeros((bs, gs, mg.n_orders))
+    coeffs[..., 1] = 1.0   # u_t
+    coeffs[..., 5] = -0.1  # u_xx
+    coeffs[..., 6] = -0.1  # u_yy
+    rhs = np.zeros((bs, gs))
+    n_iv_rows = mg.system.n_init_rows
+    iv = 0.1 * rng.standard_normal((bs, n_iv_rows))
+    steps = [np.full((bs, d - 1), 0.05) for d in dims]
+    u0, u, _ = mg(jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv),
+                  [jnp.asarray(s) for s in steps])
+    assert bool(jnp.isfinite(u0).all())
+    assert u.shape == (bs, 1, gs, 7)
