@@ -52,7 +52,7 @@ class PDEDenseLayer:
         config: Optional[PDEConfig] = None,
         device=None,
     ):
-        del n_iv_steps, evolution, gamma, alpha, device  # API parity only
+        del n_iv_steps, gamma, alpha, device  # API parity only
         self.bs = bs
         self.coord_dims = tuple(coord_dims)
         self.n_coord = len(self.coord_dims)
@@ -69,6 +69,7 @@ class PDEDenseLayer:
             init_index_mi_list=init_index_mi_list or [],
             n_iv=n_iv,
             step_size=0.01,
+            evolution=evolution,
         )
         self.n_orders = self.system.var_set.n_mi
         self.grid_size = self.system.var_set.grid_size

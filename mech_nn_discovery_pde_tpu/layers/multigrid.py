@@ -43,7 +43,7 @@ class MultigridLayer:
         config: Optional[PDEConfig] = None,
         device=None,
     ):
-        del n_iv_steps, evolution, gamma, alpha, double_ret, device
+        del n_iv_steps, gamma, alpha, double_ret, device
         self.bs = bs
         self.coord_dims = tuple(coord_dims)
         self.n_coord = len(self.coord_dims)
@@ -61,6 +61,7 @@ class MultigridLayer:
             init_index_mi_list=init_index_mi_list or [],
             coord_dims=self.coord_dims,
             solver_dbl=solver_dbl,
+            evolution=evolution,
             downsample_first=downsample_first,
             n_grid=n_grid,
             config=self.config,

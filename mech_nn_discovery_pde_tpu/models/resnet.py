@@ -79,26 +79,21 @@ class _ResNetND(nn.Module):
         return nn.Dense(self.out_channels)(x)
 
 
-class ResNet1D(_ResNetND):
-    """(bs, L, C) -> (bs, L, out_channels); circular padding (net.py:36-95)."""
+def ResNet1D(out_channels: int = 1, in_channels: int = 1, width: int = 100,
+             depth: int = 9, **kw) -> _ResNetND:
+    """(bs, L, C) -> (bs, L, out_channels); circular padding (net.py:36-95).
+    `in_channels` is accepted for API parity (the lift layer adapts)."""
+    return _ResNetND(ndim=1, out_channels=out_channels, width=width,
+                     depth=depth, circular=True)
 
-    ndim: int = 1
-    width: int = 100
-    depth: int = 9
-    circular: bool = True
 
-
-class ResNet2D(_ResNetND):
+def ResNet2D(out_channels: int = 1, in_channels: int = 1, width: int = 100,
+             depth: int = 9, **kw) -> _ResNetND:
     """(bs, H, W, C) -> (bs, H, W, out_channels) (net.py:97-155)."""
-
-    ndim: int = 2
-    width: int = 100
-    depth: int = 9
+    return _ResNetND(ndim=2, out_channels=out_channels, width=width, depth=depth)
 
 
-class ResNet3D(_ResNetND):
+def ResNet3D(out_channels: int = 1, in_channels: int = 1, width: int = 64,
+             depth: int = 7, **kw) -> _ResNetND:
     """(bs, D, H, W, C) -> (bs, D, H, W, out_channels) (net.py:157-211)."""
-
-    ndim: int = 3
-    width: int = 64
-    depth: int = 7
+    return _ResNetND(ndim=3, out_channels=out_channels, width=width, depth=depth)

@@ -165,11 +165,20 @@ def _point_strides(coord_dims) -> np.ndarray:
     return strides
 
 
-def _equation_block(vs: VariableSet):
+def _equation_block(vs: VariableSet, evolution: bool = False):
+    """One row per interior point over all mi.  With evolution=True the
+    time-derivative mi entries reference the *previous* time step's point
+    (reference build_equation_constraints :756-761 + t_deriv_mi_index); every
+    reference layer instantiates evolution=False."""
     interior = vs.interior_flat_indices()  # C-order
     n_rows = interior.shape[0]
     n_mi = vs.n_mi
-    cols = (interior[:, None] * n_mi + np.arange(n_mi)[None, :]).reshape(-1)
+    points = np.broadcast_to(interior[:, None], (n_rows, n_mi)).copy()
+    if evolution:
+        stride_t = _point_strides(vs.coord_dims)[0]
+        for mi_idx in vs.t_deriv_mi_indices:
+            points[:, mi_idx] -= stride_t  # interior points have t >= 1
+    cols = (points * n_mi + np.arange(n_mi)[None, :]).reshape(-1)
     rows = np.repeat(np.arange(n_rows), n_mi)
     values = np.full(cols.shape[0], PH)
     return rows.astype(np.int32), cols.astype(np.int32), values, n_rows
@@ -318,12 +327,13 @@ def build_constraint_spec(
     init_index_mi_list: Optional[List[Callable]] = None,
     n_iv: int = 1,
     step_size: float = 0.25,
+    evolution: bool = False,
 ) -> ConstraintSpec:
     """Build the full static constraint structure for one sample."""
     init_index_mi_list = init_index_mi_list or []
     vs = VariableSet(coord_dims, order)
 
-    eq_rows, eq_cols, eq_vals, n_eq = _equation_block(vs)
+    eq_rows, eq_cols, eq_vals, n_eq = _equation_block(vs, evolution=evolution)
 
     # derivative block: [central | forward | backward], each over coords
     dr_parts, dc_parts, dv_parts = [], [], []

@@ -86,9 +86,12 @@ class PDESystem:
         init_index_mi_list=None,
         n_iv: int = 1,
         step_size: float = 0.25,
+        evolution: bool = False,
     ) -> "PDESystem":
         return cls(
-            build_constraint_spec(coord_dims, order, init_index_mi_list, n_iv, step_size)
+            build_constraint_spec(
+                coord_dims, order, init_index_mi_list, n_iv, step_size, evolution
+            )
         )
 
     # ------------------------------------------------------------------
@@ -180,6 +183,16 @@ class PDESystem:
         # sort by linear target index for a sorted segment-sum scatter
         perm = np.argsort(lin, kind="stable")
         return pa[perm], pb[perm], lin[perm]
+
+    def assemble_dense_A(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Dense A (n_rows, num_vars) via a single nnz-sized scatter.  On TPU,
+        forming AtA as (dense A)^T (dense A) with one MXU matmul beats the
+        pair-product scatter by ~10x in f32 (scatter serializes duplicate
+        indices); use for f32 factorization targets."""
+        lin = self.rows_all.astype(np.int64) * self.num_vars + self.cols_all
+        flat = jnp.zeros((self.n_rows * self.num_vars,), values.dtype)
+        flat = flat.at[jnp.asarray(lin)].add(values)
+        return flat.reshape(self.n_rows, self.num_vars)
 
     def assemble_normal(self, values: jnp.ndarray) -> jnp.ndarray:
         """Dense AtA (num_vars, num_vars) via pair-product scatter.  Avoids

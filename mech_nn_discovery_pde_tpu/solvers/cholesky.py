@@ -54,17 +54,27 @@ class DenseNormalSolver:
 
     def factor(self, values: jnp.ndarray) -> Any:
         """Assemble and factor AtA for a batch of value vectors."""
-        ata = self._assemble(values)
         n = self.system.num_vars
-        if self.ridge:
-            ata = ata + self.ridge * jnp.eye(n, dtype=ata.dtype)
-        if self.precision == "f32_ir":
+        if self.precision in ("f32_ir", "f32"):
+            # f32 target: dense A scatter (nnz-sized) + one MXU matmul is
+            # ~10x faster than the pair-product scatter into AtA
+            A32 = jax.vmap(self.system.assemble_dense_A)(values.astype(jnp.float32))
+            ata = jnp.einsum(
+                "brc,brd->bcd", A32, A32, preferred_element_type=jnp.float32
+            )
+            if self.ridge:
+                ata = ata + self.ridge * jnp.eye(n, dtype=ata.dtype)
+            if self.precision == "f32":
+                return (jnp.linalg.cholesky(ata), None)
             # symmetric Jacobi equilibration, then float32 factorization
             d = jnp.diagonal(ata, axis1=-2, axis2=-1)
             s = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(ata.dtype).tiny))
             scaled = ata * s[:, :, None] * s[:, None, :]
-            L = jnp.linalg.cholesky(scaled.astype(jnp.float32))
-            return (L, s)
+            L = jnp.linalg.cholesky(scaled)
+            return (L, s.astype(values.dtype))
+        ata = self._assemble(values)
+        if self.ridge:
+            ata = ata + self.ridge * jnp.eye(n, dtype=ata.dtype)
         L = jnp.linalg.cholesky(ata)
         return (L, None)
 

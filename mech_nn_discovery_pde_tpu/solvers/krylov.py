@@ -152,6 +152,62 @@ def gmres(matvec, b, x0=None, *, restart=20, maxiter=40, atol=1e-5, tol=1e-5):
     )
 
 
+def lgmres(
+    matvec,
+    b,
+    x0=None,
+    *,
+    restart: int = 20,
+    n_aug: int = 3,
+    maxiter: int = 100,
+    atol: float = 1e-8,
+    tol: float = 1e-8,
+):
+    """LGMRES('loose' GMRES): restarted GMRES whose restart cycles are
+    augmented with the `n_aug` most recent correction directions, recovering
+    much of unrestarted-GMRES convergence at restarted cost (reference
+    cg.py:350 keeps an lgmres variant among its alternates).
+
+    Implemented by warm-starting each cycle with a minimal-residual update
+    over the stored corrections, then running an FGMRES cycle."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    dtype = b.dtype
+    b_norm = jnp.linalg.norm(b)
+    thresh = jnp.maximum(jnp.asarray(atol, dtype), tol * b_norm)
+
+    Z = jnp.zeros((n_aug, n), dtype)  # past corrections
+
+    def body(carry):
+        x, Z, it, _ = carry
+        r = b - matvec(x)
+        # minimal-residual projection over the stored corrections
+        AZ = jax.vmap(matvec)(Z)  # (n_aug, n)
+        G = AZ @ AZ.T + jnp.eye(n_aug, dtype=dtype) * jnp.finfo(dtype).eps
+        # tiny SPD solve via Cholesky (f64 LU has no TPU lowering)
+        Lg = jnp.linalg.cholesky(G)
+        y = jax.scipy.linalg.cho_solve((Lg, True), (AZ @ r)[:, None])[:, 0]
+        dx_aug = Z.T @ y
+        x = x + dx_aug
+        res = fgmres(
+            matvec, b, x, restart=restart, maxiter=restart, atol=0.0, tol=0.0
+        )
+        dx = res.x - x
+        nrm = jnp.maximum(jnp.linalg.norm(dx), jnp.finfo(dtype).tiny)
+        Z = jnp.concatenate([(dx / nrm)[None], Z[:-1]], axis=0)
+        x = res.x
+        rn = jnp.linalg.norm(b - matvec(x))
+        return x, Z, it + restart, rn
+
+    def cond(carry):
+        _, _, it, rn = carry
+        return jnp.logical_and(rn > thresh, it < maxiter)
+
+    r0 = jnp.linalg.norm(b - matvec(x))
+    x, Z, iters, rnorm = lax.while_loop(cond, body, (x, Z, jnp.asarray(0), r0))
+    return KrylovResult(x, iters, rnorm)
+
+
 # ---------------------------------------------------------------------------
 # CG / MINRES
 # ---------------------------------------------------------------------------

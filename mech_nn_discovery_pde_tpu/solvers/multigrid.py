@@ -69,7 +69,7 @@ class MultigridSolver:
         config: Optional[PDEConfig] = None,
         device=None,
     ):
-        del n_iv_steps, evolution, gamma, alpha, double_ret, device
+        del n_iv_steps, gamma, alpha, double_ret, device
         self.bs = bs
         self.n_ind_dim = n_ind_dim
         self.order = order
@@ -98,7 +98,7 @@ class MultigridSolver:
         self.systems: List[PDESystem] = [
             PDESystem.build(
                 d, order=order, init_index_mi_list=self.init_index_mi_list,
-                n_iv=n_iv, step_size=0.01,
+                n_iv=n_iv, step_size=0.01, evolution=evolution,
             )
             for d in self.dim_list
         ]

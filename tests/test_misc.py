@@ -1,0 +1,139 @@
+"""Tests for remaining inventory: lgmres, evolution mode, utilities,
+interp operators, dense-A assembly, datasets."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mech_nn_discovery_pde_tpu.solvers import krylov
+
+
+def test_lgmres():
+    from tests.test_krylov import make_spd
+
+    n = 60
+    A = jnp.asarray(make_spd(n, cond=1e3, seed=4))
+    x_true = jnp.asarray(np.random.default_rng(5).standard_normal(n))
+    b = A @ x_true
+    res = krylov.lgmres(lambda v: A @ v, b, restart=10, n_aug=3, maxiter=400,
+                        tol=1e-10, atol=1e-10)
+    plain = krylov.gmres(lambda v: A @ v, b, restart=10, maxiter=400,
+                         tol=1e-10, atol=1e-10)
+    assert float(jnp.linalg.norm(res.x - x_true)) < 1e-4
+    # augmentation should beat plain restarted GMRES at equal budget
+    assert float(res.rnorm) <= float(plain.rnorm) * 1.5
+
+
+def test_evolution_mode_structure():
+    """evolution=True redirects time-derivative entries to the previous time
+    step's point (reference :756-761)."""
+    from mech_nn_discovery_pde_tpu.ops.constraints import build_constraint_spec
+
+    dims = (6, 7)
+    plain = build_constraint_spec(dims, order=2)
+    evo = build_constraint_spec(dims, order=2, evolution=True)
+    n_mi = plain.var_set.n_mi
+    stride_t = 7 * n_mi
+    # u, u_x, u_xx entries unchanged; u_t (mi 1) and u_tt (mi 3) shifted back
+    pc = plain.eq_cols.reshape(-1, n_mi)
+    ec = evo.eq_cols.reshape(-1, n_mi)
+    np.testing.assert_array_equal(pc[:, [0, 2, 4]], ec[:, [0, 2, 4]])
+    np.testing.assert_array_equal(pc[:, 1] - stride_t, ec[:, 1])
+    np.testing.assert_array_equal(pc[:, 3] - stride_t, ec[:, 3])
+
+
+def test_evolution_layer_solves():
+    from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
+
+    bs, dims = 1, (8, 10)
+    ivs = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+    layer = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                          init_index_mi_list=ivs, solver_dbl=True, evolution=True)
+    coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))
+    coeffs[..., 1] = 1.0
+    coeffs[..., 2] = 1.0
+    rhs = np.zeros((bs, layer.grid_size))
+    iv = 0.3 * np.sin(np.linspace(0, 2 * np.pi, dims[1]))[None]
+    steps = [np.full((bs, d - 1), 0.05) for d in dims]
+    u0, u, _ = layer(*map(jnp.asarray, (coeffs, rhs, iv)),
+                     [jnp.asarray(s) for s in steps])
+    assert bool(jnp.isfinite(u0).all())
+
+
+def test_interp_align_corners_matches_linear():
+    """interp_matrix reproduces exact linear functions and endpoint
+    alignment."""
+    from mech_nn_discovery_pde_tpu.ops.interp import interp_matrix, resize_grid
+
+    W = interp_matrix(9, 5)
+    x = np.linspace(0, 1, 9)
+    got = W @ x
+    np.testing.assert_allclose(got, np.linspace(0, 1, 5), atol=1e-12)
+    # singleton output takes the first sample
+    W1 = interp_matrix(7, 1)
+    assert W1[0, 0] == 1.0 and W1.sum() == 1.0
+    # separable resize
+    f = np.add.outer(np.linspace(0, 1, 8), np.linspace(0, 2, 6))
+    got = np.asarray(resize_grid(jnp.asarray(f[None]), (8, 6), (4, 3))[0])
+    expect = np.add.outer(np.linspace(0, 1, 4), np.linspace(0, 2, 3))
+    np.testing.assert_allclose(got, expect, atol=1e-12)
+
+
+def test_assemble_dense_A_matches_matvec():
+    from mech_nn_discovery_pde_tpu.ops.system import PDESystem
+
+    rng = np.random.default_rng(3)
+    sys = PDESystem.build((6, 7), init_index_mi_list=[
+        lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])
+    ])
+    vals = jnp.asarray(rng.standard_normal(sys.n_entries))
+    A = np.asarray(sys.assemble_dense_A(vals))
+    x = rng.standard_normal(sys.num_vars)
+    np.testing.assert_allclose(A @ x, np.asarray(sys.matvec(vals, jnp.asarray(x))),
+                               rtol=1e-10)
+    np.testing.assert_allclose(A.T @ A, np.asarray(sys.assemble_normal(vals)),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_rundir_and_logger(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.utils import rundir, logger
+
+    d0, i0 = rundir.create_log_dir(root="logs/x", reuse=False)
+    d1, i1 = rundir.create_log_dir(root="logs/x", reuse=False)
+    assert d0 != d1 and i1 == i0 + 1
+    log = logger.setup(d0, name="t")
+    log.info("hello")
+    assert os.path.exists(os.path.join(d0, "log.txt"))
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from mech_nn_discovery_pde_tpu.utils.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path))
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(3)}
+    ck.save(3, state)
+    assert ck.latest_step() == 3
+    got = ck.restore(jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(np.asarray(got["w"]), np.arange(4.0))
+
+
+def test_phase_timer():
+    from mech_nn_discovery_pde_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    assert "a" in t.report()
+
+
+def test_datasets_shapes(tmp_path):
+    from mech_nn_discovery_pde_tpu.data.datasets import SineDataset, PatchLoader
+
+    ds = SineDataset((16, 12))
+    assert ds[0].shape == (16, 12)
+    loader = PatchLoader(ds, 1)
+    batches = list(loader)
+    assert batches[0].shape == (1, 16, 12)

@@ -1,0 +1,137 @@
+"""End-to-end workload smoke tests: each discovery/fit harness builds, takes
+optimizer steps, and produces finite decreasing loss (tiny configurations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mech_nn_discovery_pde_tpu.config import PDEConfig
+
+
+def test_sine_fit_converges(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.fit.sine_fit import SineFitConfig, train
+
+    cfg = SineFitConfig(epochs=25, pde=PDEConfig(precision="f64"))
+    params, model, hist = train(cfg)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 0.2, hist[-1]
+
+
+def test_burgers_harness_steps(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.discovery.burgers import (
+        BurgersConfig,
+        BurgersDiscovery,
+        print_eq,
+    )
+    from mech_nn_discovery_pde_tpu.data.datasets import BurgersDataset
+    from mech_nn_discovery_pde_tpu.discovery.common import make_update
+    import optax
+
+    cfg = BurgersConfig(
+        solver_dim=(8, 16), batch_size=2, nn_transform=False,
+        pde=PDEConfig(precision="f64"),
+    )
+    ds = BurgersDataset(solver_dim=cfg.solver_dim, data_root=str(tmp_path / "data"))
+    model = BurgersDiscovery(cfg, ds)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    update = make_update(model.loss_fn, opt)
+    opt_state = opt.init(params)
+    patch = np.stack([ds[i][0] for i in range(2)])
+    t_idx = np.array([ds[i][1] for i in range(2)])
+    x_idx = np.array([ds[i][2] for i in range(2)])
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss, aux = update(
+            params, opt_state, jnp.asarray(patch), jnp.asarray(t_idx), jnp.asarray(x_idx)
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0]
+    eq = print_eq(np.asarray(model.get_params(params)))
+    assert "u_t" in eq
+
+
+def test_kamani_harness_steps(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.discovery.kamani import (
+        KamaniConfig,
+        KamaniDiscovery,
+    )
+    from mech_nn_discovery_pde_tpu.data.datasets import KamaniDataset
+    from mech_nn_discovery_pde_tpu.discovery.common import make_update
+    import optax
+
+    # tiny synthetic kamani dataset (avoid the 500-amplitude solve_ivp sweep)
+    import mech_nn_discovery_pde_tpu.data.generate as gen
+    import os
+
+    d = tmp_path / "data" / "kamani"
+    os.makedirs(d, exist_ok=True)
+    u, t = gen.kamani(n_t=96, n_amp=6)
+    np.save(d / "kamani_traj.npy", u)
+    np.save(d / "times.npy", t)
+
+    cfg = KamaniConfig(batch_size=4, pde=PDEConfig(precision="f64"), plot_every=0)
+    ds = KamaniDataset(solver_dim=cfg.solver_dim, data_root=str(tmp_path / "data"))
+    model = KamaniDiscovery(cfg, ds)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    update = make_update(model.loss_fn, opt)
+    opt_state = opt.init(params)
+    items = [ds[i] for i in range(4)]
+    u_b = np.stack([it[1] for it in items])
+    sd_b = np.stack([it[3] for it in items])
+    sdd_b = np.stack([it[4] for it in items])
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss, aux = update(
+            params, opt_state, jnp.asarray(u_b), jnp.asarray(sd_b), jnp.asarray(sdd_b)
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    pr, er = model.get_params(params)
+    assert float(pr[3, 0]) == 1.0  # pinned scale
+    assert np.all(np.abs(np.asarray(er)) <= 2.0)  # exponent range
+
+
+def test_gl_harness_steps(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.discovery.ginzburg_landau import (
+        GLConfig,
+        GLDiscovery,
+        print_eq,
+    )
+    from mech_nn_discovery_pde_tpu.discovery.common import make_update
+    import optax
+
+    cfg = GLConfig(
+        solver_dim=(6, 16, 16), n_grid=2, batch_size=2, nn_transform=False,
+        pde=PDEConfig(precision="f64"),
+    )
+
+    class TinyDS:
+        t_step_size = 0.2
+        x_step_size = 0.3906
+        y_step_size = 0.3906
+
+    model = GLDiscovery(cfg, TinyDS())
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    update = make_update(model.loss_fn, opt)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((2, 6, 16, 16)) * 0.3
+    v = rng.standard_normal((2, 6, 16, 16)) * 0.3
+    losses = []
+    for _ in range(2):
+        params, opt_state, loss, aux = update(
+            params, opt_state, jnp.asarray(u), jnp.asarray(v)
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    eq = print_eq([np.asarray(p) for p in model.get_params(params)])
+    assert "u_t" in eq
