@@ -132,9 +132,12 @@ class BurgersDiscovery:
         cfg = self.cfg
         bs = cfg.batch_size
         if cfg.nn_transform:
+            # networks run in f32 (f64 is emulated on TPU); the solver
+            # boundary casts to the solve dtype
             full = self.resnet.apply(
-                params["resnet"], self.data_all[None, :, :, None]
-            )[0, :, :, 0]
+                params["resnet"],
+                self.data_all.astype(jnp.float32)[None, :, :, None],
+            )[0, :, :, 0].astype(self.data_all.dtype)
         else:
             full = self.data_all
         up = self._gather_patches(full, t_idx, x_idx)  # (bs, nt, nx)

@@ -125,10 +125,10 @@ class GLDiscovery:
         bs = cfg.batch_size
         dims = cfg.solver_dim
         if cfg.nn_transform:
-            u_in = u.reshape(bs * dims[0], dims[1], dims[2], 1)
-            v_in = v.reshape(bs * dims[0], dims[1], dims[2], 1)
-            up = self.rnet1.apply(params["rnet1"], u_in).reshape(bs, *dims)
-            vp = self.rnet2.apply(params["rnet2"], v_in).reshape(bs, *dims)
+            u_in = u.reshape(bs * dims[0], dims[1], dims[2], 1).astype(jnp.float32)
+            v_in = v.reshape(bs * dims[0], dims[1], dims[2], 1).astype(jnp.float32)
+            up = self.rnet1.apply(params["rnet1"], u_in).reshape(bs, *dims).astype(u.dtype)
+            vp = self.rnet2.apply(params["rnet2"], v_in).reshape(bs, *dims).astype(u.dtype)
         else:
             up, vp = u, v
 

@@ -86,7 +86,10 @@ class KamaniDiscovery:
     def forward(self, params, u, shear_d, shear_dd):
         cfg = self.cfg
         bs = cfg.batch_size
-        up = self.transform.apply(params["tnet"], u[..., None])[..., 0]
+        # network in f32; solver boundary casts back
+        up = self.transform.apply(
+            params["tnet"], u.astype(jnp.float32)[..., None]
+        )[..., 0].astype(u.dtype)
         iv_rhs = up[:, 0:1]
 
         pr, er = self.get_params(params)

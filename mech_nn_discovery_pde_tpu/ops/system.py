@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mech_nn_discovery_pde_tpu.ops import stencil
+from mech_nn_discovery_pde_tpu.ops import native, stencil
 from mech_nn_discovery_pde_tpu.ops.constraints import (
     ConstraintSpec,
     build_constraint_spec,
@@ -178,6 +178,11 @@ class PDESystem:
 
     @cached_property
     def _pairs(self):
+        native_result = native.build_pairs_sorted(
+            self.rows_all, self.cols_all, self.num_vars
+        )
+        if native_result is not None:
+            return native_result
         pa, pb = self._raw_pairs
         lin = self.cols_all[pa].astype(np.int64) * self.num_vars + self.cols_all[pb]
         # sort by linear target index for a sorted segment-sum scatter

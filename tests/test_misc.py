@@ -137,3 +137,33 @@ def test_datasets_shapes(tmp_path):
     loader = PatchLoader(ds, 1)
     batches = list(loader)
     assert batches[0].shape == (1, 16, 12)
+
+
+def test_native_assembly_matches_numpy():
+    """C++ pair-table builder agrees with the NumPy fallback (skipped when no
+    toolchain)."""
+    import pytest
+
+    from mech_nn_discovery_pde_tpu.ops import native
+    from mech_nn_discovery_pde_tpu.ops.system import PDESystem
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    sys = PDESystem.build((6, 8), init_index_mi_list=[
+        lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])
+    ])
+    pa, pb, lin = native.build_pairs_sorted(sys.rows_all, sys.cols_all, sys.num_vars)
+    ppa, ppb = sys._raw_pairs
+    plin = sys.cols_all[ppa].astype(np.int64) * sys.num_vars + sys.cols_all[ppb]
+    perm = np.argsort(plin, kind="stable")
+    np.testing.assert_array_equal(lin, plin[perm])
+    rng = np.random.default_rng(0)
+    vals = rng.standard_normal(sys.n_entries)
+    s1 = np.zeros(sys.num_vars**2)
+    np.add.at(s1, lin, vals[pa] * vals[pb])
+    s2 = np.zeros(sys.num_vars**2)
+    np.add.at(s2, plin, vals[ppa] * vals[ppb])
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
+    # argsort helper
+    keys = rng.integers(0, 50, 1000).astype(np.int64)
+    np.testing.assert_array_equal(native.stable_argsort(keys), np.argsort(keys, kind="stable"))
