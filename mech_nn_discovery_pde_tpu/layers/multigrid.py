@@ -97,3 +97,29 @@ class MultigridLayer:
         u = u.reshape(self.bs, self.n_ind_dim, self.grid_size, self.n_orders)
         u0 = u[..., 0]
         return u0, u, None
+
+    def solve_stats(self, coeffs, rhs, iv_rhs, steps_list):
+        """Diagnostic solve returning per-sample FGMRES iteration counts and
+        absolute/relative residual norms (the reference logs these every
+        solve, qp_dual_sparse...:59-60).  Not differentiable; use for
+        monitoring/tuning."""
+        b = self.bs * self.n_ind_dim
+        coeffs = coeffs.reshape(b, self.grid_size, self.n_orders).astype(self.dtype)
+        rhs = rhs.reshape(b, self.grid_size).astype(self.dtype)
+        if iv_rhs is not None:
+            iv_rhs = iv_rhs.reshape(b, -1).astype(self.dtype)
+        steps_list = [
+            steps_list[i].reshape(b, self.coord_dims[i] - 1).astype(self.dtype)
+            for i in range(self.n_coord)
+        ]
+        values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
+        rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
+        hier = self.mg_solver.build_hierarchy(coeffs, rhs, iv_rhs, steps_list, values)
+        x, iters, rnorm = self.mg_solver.solve_normal(values, rhs_vec, hier)
+        atb = jax.vmap(self.system.rmatvec)(values, rhs_vec)
+        bnorm = jnp.linalg.norm(atb, axis=1)
+        return {
+            "iters": iters,
+            "rnorm": rnorm,
+            "rel_rnorm": rnorm / jnp.maximum(bnorm, 1e-30),
+        }

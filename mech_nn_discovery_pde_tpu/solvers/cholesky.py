@@ -57,19 +57,28 @@ class DenseNormalSolver:
         n = self.system.num_vars
         if self.precision in ("f32_ir", "f32"):
             # f32 target: dense A scatter (nnz-sized) + one MXU matmul is
-            # ~10x faster than the pair-product scatter into AtA
+            # ~10x faster than the pair-product scatter into AtA.  HIGHEST
+            # matmul precision: the default bf16-pass decomposition loses
+            # enough accuracy to make marginally-PSD AtA indefinite in f32.
             A32 = jax.vmap(self.system.assemble_dense_A)(values.astype(jnp.float32))
             ata = jnp.einsum(
-                "brc,brd->bcd", A32, A32, preferred_element_type=jnp.float32
+                "brc,brd->bcd", A32, A32, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if self.ridge:
                 ata = ata + self.ridge * jnp.eye(n, dtype=ata.dtype)
             if self.precision == "f32":
                 return (jnp.linalg.cholesky(ata), None)
-            # symmetric Jacobi equilibration, then float32 factorization
+            # symmetric Jacobi equilibration, then float32 factorization.
+            # The equilibrated matrix has unit diagonal, so a tiny ridge
+            # guarantees an f32 positivity margin; iterative refinement with
+            # exact f64 residuals absorbs the perturbation.
             d = jnp.diagonal(ata, axis1=-2, axis2=-1)
             s = jax.lax.rsqrt(jnp.maximum(d, jnp.finfo(ata.dtype).tiny))
             scaled = ata * s[:, :, None] * s[:, None, :]
+            scaled = scaled + jnp.asarray(1e-6, scaled.dtype) * jnp.eye(
+                n, dtype=scaled.dtype
+            )
             L = jnp.linalg.cholesky(scaled)
             return (L, s.astype(values.dtype))
         ata = self._assemble(values)
