@@ -139,15 +139,94 @@ class PDESystem:
     # linear operators (single sample; vmap for batches)
     # ------------------------------------------------------------------
 
+    # ---- ELL-packed layouts: both matvec directions as pure gathers -----
+    #
+    # Every row has <= n_mi+1 entries and every column is touched by a
+    # bounded number of rows, so A packs into dense (n, k) index/slot tables
+    # padded with an out-of-range-free sentinel.  Matvecs become k gathers +
+    # fused multiply-adds — no scatters/segment sums, which TPU handles far
+    # worse.  The runtime value vector (construction order) is placed into
+    # the ELL slots by a single precomputed sorted scatter.
+
+    @cached_property
+    def _ell(self):
+        """Row-major ELL: (slot_target, cols_ell, k) for the CSR direction
+        and (slot_target_T, rows_ell, kc) for the CSC direction."""
+
+        def pack(group_idx, other_idx, n_groups):
+            order = np.argsort(group_idx, kind="stable")
+            g = group_idx[order]
+            counts = np.bincount(g, minlength=n_groups)
+            k = int(counts.max()) if counts.size else 1
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            slot = np.arange(g.shape[0]) - offsets[g]
+            # target position of entry `order[i]` in the (n_groups, k) table
+            target = g.astype(np.int64) * k + slot
+            idx_tab = np.zeros((n_groups, k), dtype=np.int32)
+            idx_tab.reshape(-1)[target] = other_idx[order]
+            # entry -> flat slot (in original entry order)
+            entry_target = np.empty(g.shape[0], dtype=np.int64)
+            entry_target[order] = target
+            return entry_target, idx_tab, k
+
+        tgt_r, cols_ell, k = pack(self.rows_all, self.cols_all, self.n_rows)
+        tgt_c, rows_ell, kc = pack(self.cols_all, self.rows_all, self.num_vars)
+        return {
+            "tgt_r": tgt_r, "cols_ell": cols_ell, "k": k,
+            "tgt_c": tgt_c, "rows_ell": rows_ell, "kc": kc,
+        }
+
+    def _ell_values(self, values: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        e = self._ell
+        if transpose:
+            tgt, n, k = e["tgt_c"], self.num_vars, e["kc"]
+        else:
+            tgt, n, k = e["tgt_r"], self.n_rows, e["k"]
+        flat = jnp.zeros((n * k,), values.dtype)
+        return flat.at[jnp.asarray(tgt)].set(values).reshape(n, k)
+
     def matvec(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """A @ x : (n_entries,), (num_vars,) -> (n_rows,)."""
+        e = self._ell
+        v = self._ell_values(values, transpose=False)
+        return jnp.sum(v * x[jnp.asarray(e["cols_ell"])], axis=1)
+
+    def rmatvec(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """A.T @ y : (n_entries,), (n_rows,) -> (num_vars,)."""
+        e = self._ell
+        v = self._ell_values(values, transpose=True)
+        return jnp.sum(v * y[jnp.asarray(e["rows_ell"])], axis=1)
+
+    # ---- packed operator: amortize ELL packing across repeated matvecs ----
+
+    def pack_values(self, values: jnp.ndarray):
+        """Pack a value vector into both ELL tables once; use with
+        matvec_packed/rmatvec_packed/normal_matvec_packed inside iterative
+        loops (packing inside a while_loop body would repeat per iteration)."""
+        return {
+            "r": self._ell_values(values, transpose=False),
+            "c": self._ell_values(values, transpose=True),
+        }
+
+    def matvec_packed(self, packed, x: jnp.ndarray) -> jnp.ndarray:
+        e = self._ell
+        return jnp.sum(packed["r"] * x[jnp.asarray(e["cols_ell"])], axis=1)
+
+    def rmatvec_packed(self, packed, y: jnp.ndarray) -> jnp.ndarray:
+        e = self._ell
+        return jnp.sum(packed["c"] * y[jnp.asarray(e["rows_ell"])], axis=1)
+
+    def normal_matvec_packed(self, packed, x: jnp.ndarray) -> jnp.ndarray:
+        return self.rmatvec_packed(packed, self.matvec_packed(packed, x))
+
+    def matvec_coo(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Segment-sum reference implementation (used by tests)."""
         prod = values * x[self.cols_all]
         return jax.ops.segment_sum(
             prod, self.rows_all, num_segments=self.n_rows, indices_are_sorted=True
         )
 
-    def rmatvec(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        """A.T @ y : (n_entries,), (n_rows,) -> (num_vars,)."""
+    def rmatvec_coo(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         prod = (values * y[self.rows_all])[self.col_perm]
         return jax.ops.segment_sum(
             prod, self.cols_sorted, num_segments=self.num_vars, indices_are_sorted=True

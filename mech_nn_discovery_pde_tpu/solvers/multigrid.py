@@ -204,8 +204,9 @@ class MultigridSolver:
             return jnp.linalg.cholesky(B)
 
         bchol = jax.vmap(blocks_one)(v32)
-        lmax = self._estimate_lmax(sysk, v32, bchol)
-        return {"values": v32, "bchol": bchol, "lmax": lmax}
+        packed = jax.vmap(sysk.pack_values)(v32)
+        lmax = self._estimate_lmax(sysk, packed, bchol)
+        return {"values": v32, "packed": packed, "bchol": bchol, "lmax": lmax}
 
     def _block_apply(self, sysk: PDESystem, bchol, r):
         """Apply the block-Jacobi preconditioner r -> B^{-1} r.  Blocks are
@@ -221,22 +222,22 @@ class MultigridSolver:
         z = jax.scipy.linalg.cho_solve((bchol, True), rb[..., None])[..., 0]
         return z.reshape(-1)
 
-    def _estimate_lmax(self, sysk: PDESystem, v32, bchol, iters: int = 10):
+    def _estimate_lmax(self, sysk: PDESystem, packed, bchol, iters: int = 10):
         """Power iteration on B^-1 AtA (batched); 10% safety margin."""
 
-        def one(vals, bc):
+        def one(pk, bc):
             x = jnp.sin(jnp.arange(sysk.num_vars, dtype=self.pdtype) + 1.0)
             x = x / jnp.linalg.norm(x)
 
             def body(_, x):
-                y = self._block_apply(sysk, bc, sysk.normal_matvec(vals, x))
+                y = self._block_apply(sysk, bc, sysk.normal_matvec_packed(pk, x))
                 return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
 
             x = jax.lax.fori_loop(0, iters, body, x)
-            y = self._block_apply(sysk, bc, sysk.normal_matvec(vals, x))
+            y = self._block_apply(sysk, bc, sysk.normal_matvec_packed(pk, x))
             return jnp.vdot(x, y)
 
-        return 1.1 * jax.vmap(one)(v32, bchol)
+        return 1.1 * jax.vmap(one)(packed, bchol)
 
     @staticmethod
     def _block_row_slices(sys: PDESystem):
@@ -355,10 +356,11 @@ class MultigridSolver:
 
     def _smooth(self, sysk: PDESystem, lvl, b, x, steps: int, back: bool):
         apply_B = lambda r: self._block_apply(sysk, lvl["bchol"], r)
+        mv = lambda v: sysk.normal_matvec_packed(lvl["packed"], v)
         if self.config.mg_smoother == "jacobi":
             w = self.config.jacobi_w if back else self.config.jacobi_w_forward
             for _ in range(steps):
-                r = b - sysk.normal_matvec(lvl["values"], x)
+                r = b - mv(x)
                 x = x + w * apply_B(r)
             return x
         # Chebyshev over the block-preconditioned operator on [lmax/r, lmax]
@@ -368,11 +370,11 @@ class MultigridSolver:
         delta = (lmax - lmin) / 2.0
         sigma = theta / delta
         rho = 1.0 / sigma
-        r = b - sysk.normal_matvec(lvl["values"], x)
+        r = b - mv(x)
         d = apply_B(r) / theta
         for i in range(steps):
             x = x + d
-            r = r - sysk.normal_matvec(lvl["values"], d)
+            r = r - mv(d)
             rho_new = 1.0 / (2.0 * sigma - rho)
             d = rho_new * rho * d + (2.0 * rho_new / delta) * apply_B(r)
             rho = rho_new
@@ -404,7 +406,7 @@ class MultigridSolver:
         sysk = self.systems[k]
         x = jnp.zeros_like(b)
         x = self._smooth(sysk, lvl, b, x, self.config.mg_smoother_steps_pre, back)
-        r = b - sysk.normal_matvec(lvl["values"], x)
+        r = b - sysk.normal_matvec_packed(lvl["packed"], x)
         rH = self._restrict_vec(k, r)
         if k == self.n_grid - 2:
             sH = hier["coarse_s"]
@@ -428,8 +430,8 @@ class MultigridSolver:
         )
         x = self.v_cycle(hier, r.astype(self.pdtype), 0, back)
         for _ in range(n_step - 1):
-            res = r.astype(self.pdtype) - self.systems[0].normal_matvec(
-                hier["levels"][0]["values"], x
+            res = r.astype(self.pdtype) - self.systems[0].normal_matvec_packed(
+                hier["levels"][0]["packed"], x
             )
             x = x + self.v_cycle(hier, res, 0, back)
         return x.astype(r.dtype)
@@ -454,8 +456,9 @@ class MultigridSolver:
             atb = jax.vmap(sys0.rmatvec)(fine_values, rhs_vec)
 
         def solve_one(vals, b, hier_s):
+            packed = sys0.pack_values(vals)
             res = krylov.fgmres(
-                lambda v: sys0.normal_matvec(vals, v),
+                lambda v: sys0.normal_matvec_packed(packed, v),
                 b,
                 precond=lambda r: self.precondition(hier_s, r, back=back),
                 restart=restart,

@@ -167,3 +167,55 @@ def test_native_assembly_matches_numpy():
     # argsort helper
     keys = rng.integers(0, 50, 1000).astype(np.int64)
     np.testing.assert_array_equal(native.stable_argsort(keys), np.argsort(keys, kind="stable"))
+
+
+def test_structured_matvec_matches_coo():
+    """Shift-based structured matvec/rmatvec == segment-sum reference on
+    random values, 1D/2D/3D."""
+    from mech_nn_discovery_pde_tpu.ops.structured import (
+        make_structured_ops,
+        split_values,
+    )
+    from mech_nn_discovery_pde_tpu.ops.system import PDESystem
+
+    rng = np.random.default_rng(7)
+    for dims, ivs in [
+        ((9,), [lambda nt: (0, 0, [0], [0])]),
+        ((6, 7), [lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])]),
+        ((6, 6, 7), [lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1])]),
+    ]:
+        sys = PDESystem.build(dims, init_index_mi_list=ivs)
+        vals = jnp.asarray(rng.standard_normal(sys.n_entries))
+        sv = split_values(sys.spec, vals)
+        mv, rmv = make_structured_ops(sys.spec, jnp.float64)
+        x = jnp.asarray(rng.standard_normal(sys.num_vars))
+        y = jnp.asarray(rng.standard_normal(sys.n_rows))
+        np.testing.assert_allclose(
+            np.asarray(mv(sv, x)), np.asarray(sys.matvec_coo(vals, x)),
+            rtol=1e-12, atol=1e-12, err_msg=f"matvec dims={dims}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rmv(sv, y)), np.asarray(sys.rmatvec_coo(vals, y)),
+            rtol=1e-12, atol=1e-12, err_msg=f"rmatvec dims={dims}",
+        )
+
+
+def test_ell_matvec_matches_coo():
+    from mech_nn_discovery_pde_tpu.ops.system import PDESystem
+
+    rng = np.random.default_rng(8)
+    sys = PDESystem.build((6, 7), init_index_mi_list=[
+        lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])
+    ])
+    vals = jnp.asarray(rng.standard_normal(sys.n_entries))
+    x = jnp.asarray(rng.standard_normal(sys.num_vars))
+    y = jnp.asarray(rng.standard_normal(sys.n_rows))
+    np.testing.assert_allclose(np.asarray(sys.matvec(vals, x)),
+                               np.asarray(sys.matvec_coo(vals, x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sys.rmatvec(vals, y)),
+                               np.asarray(sys.rmatvec_coo(vals, y)), rtol=1e-12)
+    p = sys.pack_values(vals)
+    np.testing.assert_allclose(np.asarray(sys.matvec_packed(p, x)),
+                               np.asarray(sys.matvec_coo(vals, x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sys.rmatvec_packed(p, y)),
+                               np.asarray(sys.rmatvec_coo(vals, y)), rtol=1e-12)
