@@ -101,8 +101,7 @@ def fgmres(
                     -sn[i] * hi + cs[i] * hi1
                 )
             hcol = jnp.zeros((restart + 1,), dtype)
-            hcol = lax.dynamic_update_slice(hcol, h[: restart], (0,))
-            hcol = hcol.at[j + 1].add(hn * (jnp.arange(restart + 1) == j + 1)[j + 1])
+            hcol = lax.dynamic_update_slice(hcol, h[:restart], (0,))
             hcol = hcol.at[j + 1].set(hn)
             hcol = lax.fori_loop(0, j, rot, hcol)
             # new rotation annihilating hcol[j+1]

@@ -36,6 +36,7 @@ import numpy as np
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig, default_config
 from mech_nn_discovery_pde_tpu.ops.interp import interp_matrix, apply_separable
+from mech_nn_discovery_pde_tpu.ops.structured import make_structured_ops, split_values
 from mech_nn_discovery_pde_tpu.ops.system import PDESystem
 from mech_nn_discovery_pde_tpu.solvers import krylov
 
@@ -102,6 +103,11 @@ class MultigridSolver:
             )
             for d in self.dim_list
         ]
+
+        # gather-free structured matvec closures per level (f32 for the
+        # preconditioner, solve dtype for the fine level)
+        self._sops32 = [make_structured_ops(sysk.spec, self.pdtype) for sysk in self.systems]
+        self._sops = [make_structured_ops(sysk.spec, self.dtype) for sysk in self.systems]
 
         # transfer matrices between consecutive levels (per axis)
         self._down = [
@@ -204,9 +210,9 @@ class MultigridSolver:
             return jnp.linalg.cholesky(B)
 
         bchol = jax.vmap(blocks_one)(v32)
-        packed = jax.vmap(sysk.pack_values)(v32)
-        lmax = self._estimate_lmax(sysk, packed, bchol)
-        return {"values": v32, "packed": packed, "bchol": bchol, "lmax": lmax}
+        sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
+        lmax = self._estimate_lmax(k, sv, bchol)
+        return {"values": v32, "sv": sv, "bchol": bchol, "lmax": lmax}
 
     def _block_apply(self, sysk: PDESystem, bchol, r):
         """Apply the block-Jacobi preconditioner r -> B^{-1} r.  Blocks are
@@ -222,22 +228,24 @@ class MultigridSolver:
         z = jax.scipy.linalg.cho_solve((bchol, True), rb[..., None])[..., 0]
         return z.reshape(-1)
 
-    def _estimate_lmax(self, sysk: PDESystem, packed, bchol, iters: int = 10):
+    def _estimate_lmax(self, k: int, sv, bchol, iters: int = 10):
         """Power iteration on B^-1 AtA (batched); 10% safety margin."""
+        sysk = self.systems[k]
+        mv, rmv = self._sops32[k]
 
-        def one(pk, bc):
+        def one(svs, bc):
             x = jnp.sin(jnp.arange(sysk.num_vars, dtype=self.pdtype) + 1.0)
             x = x / jnp.linalg.norm(x)
 
             def body(_, x):
-                y = self._block_apply(sysk, bc, sysk.normal_matvec_packed(pk, x))
+                y = self._block_apply(sysk, bc, rmv(svs, mv(svs, x)))
                 return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
 
             x = jax.lax.fori_loop(0, iters, body, x)
-            y = self._block_apply(sysk, bc, sysk.normal_matvec_packed(pk, x))
+            y = self._block_apply(sysk, bc, rmv(svs, mv(svs, x)))
             return jnp.vdot(x, y)
 
-        return 1.1 * jax.vmap(one)(packed, bchol)
+        return 1.1 * jax.vmap(one)(sv, bchol)
 
     @staticmethod
     def _block_row_slices(sys: PDESystem):
@@ -354,9 +362,11 @@ class MultigridSolver:
     # smoothers (single sample, preconditioner dtype)
     # ------------------------------------------------------------------
 
-    def _smooth(self, sysk: PDESystem, lvl, b, x, steps: int, back: bool):
+    def _smooth(self, k: int, lvl, b, x, steps: int, back: bool):
+        sysk = self.systems[k]
+        smv, srmv = self._sops32[k]
         apply_B = lambda r: self._block_apply(sysk, lvl["bchol"], r)
-        mv = lambda v: sysk.normal_matvec_packed(lvl["packed"], v)
+        mv = lambda v: srmv(lvl["sv"], smv(lvl["sv"], v))
         if self.config.mg_smoother == "jacobi":
             w = self.config.jacobi_w if back else self.config.jacobi_w_forward
             for _ in range(steps):
@@ -403,10 +413,10 @@ class MultigridSolver:
 
     def v_cycle(self, hier, b, k: int = 0, back: bool = False) -> jnp.ndarray:
         lvl = hier["levels"][k]
-        sysk = self.systems[k]
+        smv, srmv = self._sops32[k]
         x = jnp.zeros_like(b)
-        x = self._smooth(sysk, lvl, b, x, self.config.mg_smoother_steps_pre, back)
-        r = b - sysk.normal_matvec_packed(lvl["packed"], x)
+        x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre, back)
+        r = b - srmv(lvl["sv"], smv(lvl["sv"], x))
         rH = self._restrict_vec(k, r)
         if k == self.n_grid - 2:
             sH = hier["coarse_s"]
@@ -419,7 +429,7 @@ class MultigridSolver:
         # transport): Krylov exploits the rich smooth components of the raw
         # correction even when their scale is off.
         x = x + self._prolong_vec(k, deltaH)
-        x = self._smooth(sysk, lvl, b, x, self.config.mg_smoother_steps_post, back)
+        x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_post, back)
         return x
 
     def precondition(self, hier, r: jnp.ndarray, back: bool = False) -> jnp.ndarray:
@@ -430,9 +440,9 @@ class MultigridSolver:
         )
         x = self.v_cycle(hier, r.astype(self.pdtype), 0, back)
         for _ in range(n_step - 1):
-            res = r.astype(self.pdtype) - self.systems[0].normal_matvec_packed(
-                hier["levels"][0]["packed"], x
-            )
+            smv, srmv = self._sops32[0]
+            sv0 = hier["levels"][0]["sv"]
+            res = r.astype(self.pdtype) - srmv(sv0, smv(sv0, x))
             x = x + self.v_cycle(hier, res, 0, back)
         return x.astype(r.dtype)
 
@@ -455,10 +465,12 @@ class MultigridSolver:
         else:
             atb = jax.vmap(sys0.rmatvec)(fine_values, rhs_vec)
 
+        fmv, frmv = self._sops[0]
+
         def solve_one(vals, b, hier_s):
-            packed = sys0.pack_values(vals)
+            sv = split_values(sys0.spec, vals)
             res = krylov.fgmres(
-                lambda v: sys0.normal_matvec_packed(packed, v),
+                lambda v: frmv(sv, fmv(sv, v)),
                 b,
                 precond=lambda r: self.precondition(hier_s, r, back=back),
                 restart=restart,
