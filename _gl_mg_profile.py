@@ -7,7 +7,7 @@ from mech_nn_discovery_pde_tpu.discovery.ginzburg_landau import GLDiscovery, GLC
 
 bs, dims, ng = 32, (8,32,32), 3
 cfg = GLConfig(batch_size=bs, solver_dim=dims, n_grid=ng, nn_transform=False,
-               pde=PDEConfig(precision='f32_ir'))
+               pde=PDEConfig(precision='f32_ir', mg_solve_dtype='f32'))
 class TinyDS:
     t_step_size = 0.2; x_step_size = 0.3906; y_step_size = 0.3906
 t0=time.time()

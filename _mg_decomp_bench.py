@@ -70,7 +70,7 @@ def main():
             def body(i, x):
                 return mgs._block_apply(sys0, bc, x) * 0.5 + x
             return jax.lax.fori_loop(0, 20, body, x)
-        return jax.vmap(one)(h["levels"][0]["bchol"], x32 + 1e-9 * k)
+        return jax.vmap(one)(h["levels"][0]["binv"], x32 + 1e-9 * k)
 
     f = jax.jit(blk20)
     print("20x block apply   %.3f s" % timeit(f, hier), flush=True)
@@ -95,10 +95,8 @@ def main():
     print("1x V-cycle        %.3f s" % timeit(f, hier), flush=True)
 
     def coarse(k, h):
-        sH = h["coarse_s"]
         rH = jnp.ones((bs, mgs.systems[-1].num_vars), jnp.float32) + 1e-9 * k
-        import jax.scipy.linalg as jsl
-        return sH * jsl.cho_solve((h["coarse_L"], True), (rH * sH)[..., None])[..., 0]
+        return jnp.einsum("bij,bj->bi", h["coarse_inv"], rH)
 
     f = jax.jit(coarse)
     print("coarsest solve    %.3f s" % timeit(f, hier), flush=True)

@@ -48,6 +48,11 @@ class PDEConfig:
     # smoother block structure: 'line' (time-line blocks; strong, the
     # TPU-parallel analogue of directional Gauss-Seidel) or 'point'
     mg_block_smoother: str = "line"
+    # dtype of the outer FGMRES iteration on the fine normal equations:
+    # 'solver' (= f64 when solver_dbl) or 'f32'.  f32 halves the fine-matvec
+    # cost ~6x on TPU (f64 is emulated); the f32 residual floor (~1e-6
+    # relative) sits well below the 40-iteration budget's ~2e-4.
+    mg_solve_dtype: str = "solver"
     jacobi_w: float = 0.4
     jacobi_w_forward: float = 0.45
 
