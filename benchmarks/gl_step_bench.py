@@ -1,4 +1,5 @@
 """GL multigrid train-step wall time with properly varied inputs."""
+import sys; sys.path.insert(0, ".")
 
 import time
 

@@ -1,4 +1,5 @@
 """Benchmark matvec implementations (COO segment-sum vs ELL gathers vs
+import sys; sys.path.insert(0, ".")
 structured shifts) on GL-sized systems; run on the TPU."""
 
 import time

@@ -1,4 +1,5 @@
 """Decompose GL multigrid solve cost on TPU: matvec / block apply /
+import sys; sys.path.insert(0, ".")
 transfers / coarse solve / full V-cycle / hierarchy build."""
 
 import time

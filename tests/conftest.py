@@ -15,3 +15,8 @@ import jax
 # JAX_PLATFORMS (e.g. a TPU tunnel); force the CPU backend regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: the multigrid/structured-matvec graphs dominate
+# suite time through XLA:CPU compilation; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
