@@ -1,5 +1,5 @@
+import sys; sys.path.insert(0, ".")  # noqa: E402
 import jax
-import sys; sys.path.insert(0, ".")
 jax.config.update('jax_enable_x64', True)
 import jax.numpy as jnp, numpy as np, time
 from mech_nn_discovery_pde_tpu.config import PDEConfig

@@ -1,5 +1,5 @@
+import sys; sys.path.insert(0, ".")  # noqa: E402
 """GL multigrid train-step wall time with properly varied inputs."""
-import sys; sys.path.insert(0, ".")
 
 import time
 

@@ -1,5 +1,5 @@
+import sys; sys.path.insert(0, ".")  # noqa: E402
 """Benchmark matvec implementations (COO segment-sum vs ELL gathers vs
-import sys; sys.path.insert(0, ".")
 structured shifts) on GL-sized systems; run on the TPU."""
 
 import time

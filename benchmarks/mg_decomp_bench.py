@@ -1,5 +1,5 @@
+import sys; sys.path.insert(0, ".")  # noqa: E402
 """Decompose GL multigrid solve cost on TPU: matvec / block apply /
-import sys; sys.path.insert(0, ".")
 transfers / coarse solve / full V-cycle / hierarchy build."""
 
 import time
