@@ -159,13 +159,29 @@ class GLDiscovery:
         return u0.reshape(bs, -1), up.reshape(bs, -1), pl
 
     def loss_fn(self, params, u, v):
+        """Reference loss (ginzburg_landau.py:494-502): |u0 - u| +
+        |u' - u| + |v' - v| + 1e-4 L1(params), where u'/v' are the (possibly
+        identity) learned transforms of the raw fields."""
         bs = self.cfg.batch_size
         u0, up, pl = self.forward(params, u, v)
-        target = u.reshape(bs, -1)
-        u_loss = jnp.abs(u0 - target).mean(axis=-1)
-        var_loss = jnp.abs(up - u0).mean(axis=-1)
-        loss = u_loss.mean() + var_loss.mean()
-        return loss, {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
+        target_u = u.reshape(bs, -1)
+        target_v = v.reshape(bs, -1)
+        u_loss = jnp.abs(u0 - target_u).mean(axis=-1)
+        var_u_loss = jnp.abs(up - target_u).mean(axis=-1)
+        # vp == v when nn_transform is off; recompute for the general case
+        if self.cfg.nn_transform:
+            dims = self.cfg.solver_dim
+            v_in = v.reshape(bs * dims[0], dims[1], dims[2], 1).astype(jnp.float32)
+            vp = self.rnet2.apply(params["rnet2"], v_in).reshape(bs, -1).astype(u.dtype)
+        else:
+            vp = target_v
+        var_v_loss = jnp.abs(vp - target_v).mean(axis=-1)
+        param_loss = sum(jnp.abs(p).sum() for p in pl)
+        loss = (
+            u_loss.mean() + var_u_loss.mean() + var_v_loss.mean()
+            + 1e-4 * param_loss
+        )
+        return loss, {"u_loss": u_loss.mean(), "var_u_loss": var_u_loss.mean()}
 
 
 def train(cfg: Optional[GLConfig] = None, log=None):

@@ -16,7 +16,7 @@ solver/qp_dual_sparse_multigrid_normal_kkt.py):
   matrix contractions (reference F.interpolate, :340-391).
 - Coarsest level: dense assembled AtA + batched Cholesky (reference
   :438-450), with the same precision policies as the dense path.
-- The entire preconditioner runs in float32 (config.mg_precond_dtype): the
+- The entire preconditioner runs in float32: the
   outer *flexible* GMRES iterates in the solve dtype and tolerates a
   variable/low-precision preconditioner by construction.  On TPU (f64
   emulated in software) this is the difference between usable and not.
