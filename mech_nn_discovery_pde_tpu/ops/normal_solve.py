@@ -57,7 +57,7 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
     matching the reference, which builds coarse grids inside the
     autograd.Function forward, outside the tape)."""
 
-    matvec_b = jax.vmap(system.matvec)
+    matvec_b = jax.vmap(system.matvec_s)
 
     @jax.custom_vjp
     def lstsq_solve(values, rhs, pdata):

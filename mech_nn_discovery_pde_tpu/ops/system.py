@@ -219,6 +219,38 @@ class PDESystem:
     def normal_matvec_packed(self, packed, x: jnp.ndarray) -> jnp.ndarray:
         return self.rmatvec_packed(packed, self.matvec_packed(packed, x))
 
+    # ---- structured (gather-free) convenience wrappers ------------------
+
+    def structured_ops(self, dtype):
+        """(matvec, rmatvec) closures over StructuredValues (cached per
+        dtype).  The gather-free implementation — use for all hot paths."""
+        from mech_nn_discovery_pde_tpu.ops.structured import make_structured_ops
+
+        key = jnp.dtype(dtype).name
+        if not hasattr(self, "_sops_cache"):
+            self._sops_cache = {}
+        if key not in self._sops_cache:
+            self._sops_cache[key] = make_structured_ops(self.spec, jnp.dtype(dtype))
+        return self._sops_cache[key]
+
+    def split_values(self, values: jnp.ndarray):
+        from mech_nn_discovery_pde_tpu.ops.structured import split_values
+
+        return split_values(self.spec, values)
+
+    def matvec_s(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        mv, _ = self.structured_ops(x.dtype)
+        return mv(self.split_values(values), x)
+
+    def rmatvec_s(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        _, rmv = self.structured_ops(y.dtype)
+        return rmv(self.split_values(values), y)
+
+    def normal_matvec_s(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        mv, rmv = self.structured_ops(x.dtype)
+        sv = self.split_values(values)
+        return rmv(sv, mv(sv, x))
+
     def matvec_coo(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Segment-sum reference implementation (used by tests)."""
         prod = values * x[self.cols_all]

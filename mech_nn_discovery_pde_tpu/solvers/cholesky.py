@@ -46,8 +46,8 @@ class DenseNormalSolver:
         self.ir_steps = ir_steps
         self.ridge = ridge
         self._assemble = jax.vmap(system.assemble_normal)
-        self._rmatvec = jax.vmap(system.rmatvec)
-        self._normal_mv = jax.vmap(system.normal_matvec)
+        self._rmatvec = jax.vmap(system.rmatvec_s)
+        self._normal_mv = jax.vmap(system.normal_matvec_s)
         self._diag = jax.vmap(system.normal_diag)
 
     # ---- factorization ------------------------------------------------

@@ -499,7 +499,7 @@ class MultigridSolver:
         if back:
             atb = rhs_vec
         else:
-            atb = jax.vmap(sys0.rmatvec)(fine_values, rhs_vec)
+            atb = jax.vmap(sys0.rmatvec_s)(fine_values, rhs_vec)
 
         sdt = jnp.float32 if cfg.mg_solve_dtype == "f32" else self.dtype
         fmv, frmv = self._sops[0] if sdt == self.dtype else self._sops32[0]
