@@ -62,8 +62,10 @@ class PDEConfig:
     #              residuals (TPU-native mixed precision)
     # 'f32'      : everything float32
     precision: str = "f64"
-    # iterative-refinement steps for the mixed-precision dense path
-    ir_steps: int = 3
+    # factor-preconditioned-CG refinement steps for the mixed-precision dense
+    # path (6 steps converge the Burgers-scale system to ~1e-4 solution
+    # error; 8 to ~1e-6)
+    ir_steps: int = 6
 
     @property
     def ginzburg_dir(self) -> str:
