@@ -103,6 +103,8 @@ class DenseNormalSolver:
         if self.precision == "f32_ir":
             sys_ = self.system
 
+            # fixed-step PCG, unrolled (no while_loop: a vmapped while_loop
+            # inside this custom-VJP graph triggered TPU kernel faults)
             def one(vals, Li, si, b):
                 def mv(x):
                     return sys_.normal_matvec_s(vals, x)
@@ -113,9 +115,23 @@ class DenseNormalSolver:
                     )[..., 0]
                     return y.astype(r.dtype) * si
 
-                return krylov.cg(
-                    mv, b, precond=pc, maxiter=self.ir_steps, tol=0.0, atol=1e-30
-                ).x
+                x = jnp.zeros_like(b)
+                r = b
+                z = pc(r)
+                p = z
+                rz = jnp.vdot(r, z)
+                tiny = jnp.finfo(b.dtype).tiny
+                for _ in range(self.ir_steps):
+                    Ap = mv(p)
+                    alpha = rz / jnp.maximum(jnp.vdot(p, Ap), tiny)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = pc(r)
+                    rz_new = jnp.vdot(r, z)
+                    beta = rz_new / jnp.maximum(rz, tiny)
+                    p = z + beta * p
+                    rz = rz_new
+                return x
 
             return jax.vmap(one)(values, L, s, rhs_n)
         return _cho_solve_b(L, rhs_n)
