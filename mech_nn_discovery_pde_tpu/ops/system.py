@@ -238,15 +238,31 @@ class PDESystem:
 
         return split_values(self.spec, values)
 
+    @property
+    def _use_structured(self) -> bool:
+        # 1D (ODE-sized) systems use the segment-sum path: the structured
+        # slice graph buys nothing at these sizes, and the Kamani training
+        # step intermittently faulted the TPU worker in this session
+        # (subsequent bisection could not pin the fault to any one
+        # implementation — the worker was also crashing on other code paths,
+        # so this is a conservative choice, not established causality).
+        return len(self.coord_dims) > 1
+
     def matvec_s(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if not self._use_structured:
+            return self.matvec_coo(values, x)
         mv, _ = self.structured_ops(x.dtype)
         return mv(self.split_values(values), x)
 
     def rmatvec_s(self, values: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        if not self._use_structured:
+            return self.rmatvec_coo(values, y)
         _, rmv = self.structured_ops(y.dtype)
         return rmv(self.split_values(values), y)
 
     def normal_matvec_s(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if not self._use_structured:
+            return self.rmatvec_coo(values, self.matvec_coo(values, x))
         mv, rmv = self.structured_ops(x.dtype)
         sv = self.split_values(values)
         return rmv(sv, mv(sv, x))
