@@ -144,3 +144,30 @@ def test_f32_ir_matches_f64():
     # the f32 stability ridge slows IR slightly; 1e-7 is still far below
     # any training-relevant scale
     assert np.abs(u0_a - u0_b).max() < 1e-7
+
+
+def test_n_ind_dim_multiple_systems():
+    """n_ind_dim > 1 solves independent systems side by side (the reference
+    folds bs*n_ind_dim through one PDESYSLP; GL uses it for u/v fields)."""
+    bs, nd, dims = 2, 2, (8, 10)
+    ivs = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+    layer = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=nd, n_iv=1,
+                          init_index_mi_list=ivs, solver_dbl=True)
+    single = PDEDenseLayer(bs=bs * nd, coord_dims=dims, order=2, n_ind_dim=1,
+                           n_iv=1, init_index_mi_list=ivs, solver_dbl=True)
+    rng = np.random.default_rng(0)
+    gs = layer.grid_size
+    coeffs = np.zeros((bs, nd, gs, layer.n_orders))
+    coeffs[..., 1] = 1.0
+    coeffs[..., 2] = 0.3
+    rhs = 0.1 * rng.standard_normal((bs, nd, gs))
+    iv = rng.standard_normal((bs, nd, dims[1]))
+    steps = [np.broadcast_to(np.full((1, d - 1), 0.05), (bs * nd, d - 1)).copy()
+             for d in dims]
+    args = [jnp.asarray(a) for a in (coeffs, rhs, iv)]
+    u0, u, _ = layer(*args, [jnp.asarray(s) for s in steps])
+    assert u0.shape == (bs, nd, gs)
+    u0s, _, _ = single(args[0].reshape(bs * nd, gs, -1), args[1].reshape(bs * nd, gs),
+                       args[2].reshape(bs * nd, -1), [jnp.asarray(s) for s in steps])
+    np.testing.assert_allclose(np.asarray(u0).reshape(bs * nd, gs),
+                               np.asarray(u0s).reshape(bs * nd, gs), rtol=1e-10)
