@@ -111,3 +111,31 @@ class PDEDenseLayer:
         u0 = u[..., 0]
         eps = None
         return u0, u, eps
+
+    def solve_stats(self, coeffs, rhs, iv_rhs, steps_list):
+        """Diagnostic solve: per-sample normal-equation residual norms and a
+        finiteness flag.  The failure-detection analogue of the reference's
+        cholesky_ex(check_errors=True) hard-fail (qp_dual_dense...:39) —
+        JAX Cholesky yields NaN on indefinite input instead of raising, so
+        callers monitor this."""
+        b = self.bs * self.n_ind_dim
+        coeffs = coeffs.reshape(b, self.grid_size, self.n_orders).astype(self.dtype)
+        rhs = rhs.reshape(b, self.grid_size).astype(self.dtype)
+        if iv_rhs is not None:
+            iv_rhs = iv_rhs.reshape(b, -1).astype(self.dtype)
+        steps_list = [
+            steps_list[i].reshape(b, self.coord_dims[i] - 1).astype(self.dtype)
+            for i in range(self.n_coord)
+        ]
+        values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
+        rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
+        x, _ = self.inner.solve(values, rhs_vec)
+        atb = jax.vmap(self.system.rmatvec_s)(values, rhs_vec)
+        res = atb - jax.vmap(self.system.normal_matvec_s)(values, x)
+        rnorm = jnp.linalg.norm(res, axis=1)
+        bnorm = jnp.maximum(jnp.linalg.norm(atb, axis=1), 1e-30)
+        return {
+            "rnorm": rnorm,
+            "rel_rnorm": rnorm / bnorm,
+            "finite": jnp.isfinite(x).all(axis=1),
+        }

@@ -171,3 +171,20 @@ def test_n_ind_dim_multiple_systems():
                        args[2].reshape(bs * nd, -1), [jnp.asarray(s) for s in steps])
     np.testing.assert_allclose(np.asarray(u0).reshape(bs * nd, gs),
                                np.asarray(u0s).reshape(bs * nd, gs), rtol=1e-10)
+
+
+def test_solve_stats():
+    bs, dims = 2, (8, 10)
+    ivs = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+    layer = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                          init_index_mi_list=ivs, solver_dbl=True)
+    rng = np.random.default_rng(0)
+    coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))
+    coeffs[..., 1] = 1.0
+    rhs = 0.1 * rng.standard_normal((bs, layer.grid_size))
+    iv = rng.standard_normal((bs, dims[1]))
+    steps = [jnp.asarray(np.full((bs, d - 1), 0.05)) for d in dims]
+    stats = layer.solve_stats(jnp.asarray(coeffs), jnp.asarray(rhs),
+                              jnp.asarray(iv), steps)
+    assert bool(stats["finite"].all())
+    assert float(stats["rel_rnorm"].max()) < 1e-8
