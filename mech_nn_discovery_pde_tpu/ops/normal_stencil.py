@@ -1,0 +1,293 @@
+"""Explicit block-stencil assembly of the normal operator AtA.
+
+Round-1 profiling showed the factored normal matvec (structured A then A^T,
+ops/structured.py) runs ~48x off its bandwidth bound on TPU: the row-space
+intermediates plus the concatenate/split boundaries defeat XLA fusion, so a
+single AtA application costs ~50 unfused HBM round trips.  This module
+removes the row space entirely: AtA is assembled ONCE per solve into an
+axis-aligned block-stencil form and every subsequent application (the 40+
+FGMRES/Chebyshev matvecs of a solve) is a short chain of flat shifted
+multiply-adds over grid-shaped fields — no gathers, no concatenates, no
+row-space intermediates.
+
+Why AtA is an axis-aligned block stencil: every constraint row of A couples
+variables along at most ONE coordinate axis —
+  * equation rows touch all mi at a single point (offset 0);
+  * initial rows touch a single variable;
+  * central rows along axis c touch values at offsets -2..2 (interior) or
+    0..4 / 0..-4 (one-sided edges) plus the derivative variable at 0;
+  * Taylor rows along c touch offsets 0 and +-1.
+Hence (AtA)[(p,i),(q,j)] is nonzero only for q = p + delta * e_c with
+|delta| <= 4, and the only channel pairs (i, j) at delta != 0 are
+(value, value), (value, deriv_c) and (deriv_c, value).  The representation is
+
+  coef[point, ch] with channels =
+      [ dense n_mi x n_mi offset-0 block (row-major) |
+        per axis c, per delta in 1..4:
+            vv   : (value@p,   value@p+d)
+            vd_k : (value@p,   deriv_k@p+d)   k over central_mi_indices(c)
+            dv_k : (deriv_k@p, value@p+d) ]
+
+Band fields are stored on the FULL grid, zero where the coupling does not
+exist (including every point whose axis-c index exceeds d-1-delta).  The
+zeros make the application wrap-around-safe on the C-order-flattened grid:
+y0 += g * shift(x0, +s) and y0 += shift(g * x0, +s) with the flat stride
+s = delta * stride_c never pick up contributions across axis boundaries
+because g vanishes there.  Symmetry of AtA is applied, not stored: each band
+entry M[(p,i),(p+s,j)] acts in both directions.
+
+Parity note: the reference never materializes AtA for the sparse path — it
+computes torch.sparse.mm(A^T, A) into CSR once per solve
+(reference solver/multigrid.py:210-240) and runs CuPy triangular solves on
+it.  This module is the TPU-native analogue of that "assemble once, apply
+many" decision, with the assembled form chosen for the VPU (dense stencil
+fields) instead of for CSR.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mech_nn_discovery_pde_tpu.ops.constraints import (
+    ConstraintSpec,
+    _point_strides,
+)
+from mech_nn_discovery_pde_tpu.ops.structured import StructuredValues, _shift_slices
+
+MAX_DELTA = 4  # largest axis offset in AtA (one-sided 5-point edge stencils)
+
+
+class Band(NamedTuple):
+    coord: int
+    delta: int
+    stride: int  # flat grid-point stride = delta * stride_c
+    kind: str  # 'vv' | 'vd' | 'dv'
+    mi_k: int  # deriv channel (unused for 'vv')
+    ch: int  # channel index in coef
+
+
+class NormalStencilDesc(NamedTuple):
+    coord_dims: Tuple[int, ...]
+    n_mi: int
+    grid_size: int
+    n_channels: int
+    bands: Tuple[Band, ...]
+
+
+def make_desc(spec: ConstraintSpec) -> NormalStencilDesc:
+    vs = spec.var_set
+    m = vs.n_mi
+    strides = _point_strides(spec.coord_dims)
+    ch = m * m
+    bands: List[Band] = []
+    for c in range(vs.n_coord):
+        for delta in range(1, MAX_DELTA + 1):
+            s = int(delta * strides[c])
+            bands.append(Band(c, delta, s, "vv", 0, ch))
+            ch += 1
+            for mik in vs.central_mi_indices(c):
+                bands.append(Band(c, delta, s, "vd", mik, ch))
+                ch += 1
+                bands.append(Band(c, delta, s, "dv", mik, ch))
+                ch += 1
+    return NormalStencilDesc(
+        coord_dims=spec.coord_dims,
+        n_mi=m,
+        grid_size=vs.grid_size,
+        n_channels=ch,
+        bands=tuple(bands),
+    )
+
+
+def _band_channel(desc: NormalStencilDesc, coord, delta, kind, mi_k=0) -> int:
+    for b in desc.bands:
+        if (
+            b.coord == coord
+            and b.delta == delta
+            and b.kind == kind
+            and (kind == "vv" or b.mi_k == mi_k)
+        ):
+            return b.ch
+    raise KeyError((coord, delta, kind, mi_k))
+
+
+def build_normal_coef(
+    spec: ConstraintSpec, desc: NormalStencilDesc, sv: StructuredValues
+) -> jnp.ndarray:
+    """Assemble AtA stencil fields from one sample's StructuredValues.
+
+    Returns (grid_size, n_channels).  Pure jittable JAX (static slices only);
+    vmap over the leading axis for batches.  Runs once per solve per level —
+    not a hot path."""
+    vs = spec.var_set
+    dims = spec.coord_dims
+    nd = len(dims)
+    m = vs.n_mi
+    dtype = sv.eq.dtype
+    C = jnp.zeros(dims + (desc.n_channels,), dtype)
+
+    def dch(i: int, j: int) -> int:
+        return i * m + j
+
+    def ax_slice(c: int, lo: int, hi: int):
+        idx = [slice(None)] * nd
+        idx[c] = slice(lo, hi)
+        return tuple(idx)
+
+    # ---- equation rows: full mi outer product at interior points ----------
+    # (assumes evolution=False: all entries at the row's own point, as does
+    # ops/structured.py)
+    interior = (slice(1, None),) + (slice(1, -1),) * (nd - 1)
+    outer = sv.eq[..., :, None] * sv.eq[..., None, :]
+    C = C.at[interior + (slice(0, m * m),)].add(
+        outer.reshape(outer.shape[:-2] + (m * m,))
+    )
+
+    # ---- initial rows: squared weights on the diagonal --------------------
+    off = 0
+    for box in spec.iv_boxes:
+        size = box.size * spec.n_iv
+        v = sv.init[off : off + size].reshape(box.shape + (spec.n_iv,))
+        contrib = jnp.sum(v * v, axis=-1)
+        bsl = tuple(slice(int(b), int(e) + 1) for b, e in zip(box.begin, box.end))
+        C = C.at[bsl + (dch(box.mi_index, box.mi_index),)].add(contrib)
+        off += size
+
+    # ---- central rows ------------------------------------------------------
+    for c in range(nd):
+        w = sv.central[c]  # dims + (n_cmi, 6)
+        d = dims[c]
+        cmi = vs.central_mi_indices(c)
+        for rs, offs in _shift_slices(d):
+            q_lo, q_hi = rs.start, rs.stop
+            wreg = w[ax_slice(c, q_lo, q_hi)]
+            # value-value pairs (sum over derivative orders k: separate rows,
+            # same value variables)
+            for j1 in range(5):
+                for j2 in range(j1, 5):
+                    o1, o2 = offs[j1], offs[j2]
+                    prod = jnp.sum(wreg[..., :, j1] * wreg[..., :, j2], axis=-1)
+                    if j1 == j2:
+                        C = C.at[
+                            ax_slice(c, q_lo + o1, q_hi + o1) + (dch(0, 0),)
+                        ].add(prod)
+                    else:
+                        lo_o, hi_o = min(o1, o2), max(o1, o2)
+                        chv = _band_channel(desc, c, hi_o - lo_o, "vv")
+                        C = C.at[
+                            ax_slice(c, q_lo + lo_o, q_hi + lo_o) + (chv,)
+                        ].add(prod)
+            # value-derivative and derivative-derivative pairs
+            for k, mik in enumerate(cmi):
+                w5 = wreg[..., k, 5]
+                for j in range(5):
+                    o = offs[j]
+                    prod = wreg[..., k, j] * w5
+                    if o == 0:
+                        C = C.at[ax_slice(c, q_lo, q_hi) + (dch(0, mik),)].add(prod)
+                        C = C.at[ax_slice(c, q_lo, q_hi) + (dch(mik, 0),)].add(prod)
+                    elif o < 0:
+                        chb = _band_channel(desc, c, -o, "vd", mik)
+                        C = C.at[ax_slice(c, q_lo + o, q_hi + o) + (chb,)].add(prod)
+                    else:
+                        chb = _band_channel(desc, c, o, "dv", mik)
+                        C = C.at[ax_slice(c, q_lo, q_hi) + (chb,)].add(prod)
+                C = C.at[ax_slice(c, q_lo, q_hi) + (dch(mik, mik),)].add(w5 * w5)
+
+    # ---- Taylor rows -------------------------------------------------------
+    # entry channel of term index t in a Taylor row: value, first, (second)
+    order = spec.order
+    for c in range(nd):
+        d = dims[c]
+        cmi = vs.central_mi_indices(c)
+        term_mi = [0] + list(cmi)  # mi channel per leading term
+        n_lead = order + 1
+        for v, forward in ((sv.fwd[c], True), (sv.bwd[c], False)):
+            # row points: q_c in 0..d-2 (fwd) / 1..d-1 (bwd); neighbor is
+            # q+1 (fwd) / q-1 (bwd).  `lo` slice = smaller-index point of the
+            # (row, neighbor) pair — always extent d-1 along c.
+            row_sl = ax_slice(c, 0, d - 1) if forward else ax_slice(c, 1, d)
+            lo_sl = ax_slice(c, 0, d - 1)
+            vlast = v[..., n_lead]
+            # leading-term pairs at the row point (offset 0)
+            for a in range(n_lead):
+                for b in range(a, n_lead):
+                    prod = v[..., a] * v[..., b]
+                    ma, mb = term_mi[a], term_mi[b]
+                    if a == b:
+                        C = C.at[row_sl + (dch(ma, ma),)].add(prod)
+                    else:
+                        C = C.at[row_sl + (dch(ma, mb),)].add(prod)
+                        C = C.at[row_sl + (dch(mb, ma),)].add(prod)
+            # neighbor value squared (offset 0 at the neighbor point)
+            nbr_sl = ax_slice(c, 1, d) if forward else ax_slice(c, 0, d - 1)
+            C = C.at[nbr_sl + (dch(0, 0),)].add(vlast * vlast)
+            # cross pairs (row terms x neighbor value), stored at the
+            # smaller-index point of the pair:
+            #   fwd: neighbor = q+1  -> (term@q,   value@q+1)
+            #   bwd: neighbor = q-1  -> (value@q-1, term@q)
+            vv_ch = _band_channel(desc, c, 1, "vv")
+            C = C.at[lo_sl + (vv_ch,)].add(v[..., 0] * vlast)
+            for k, mik in enumerate(cmi):
+                prod = v[..., 1 + k] * vlast
+                if forward:
+                    chb = _band_channel(desc, c, 1, "dv", mik)  # (deriv@q, val@q+1)
+                else:
+                    chb = _band_channel(desc, c, 1, "vd", mik)  # (val@q-1, deriv@q)
+                C = C.at[lo_sl + (chb,)].add(prod)
+
+    return C.reshape(vs.grid_size, desc.n_channels)
+
+
+def normal_stencil_matvec(
+    desc: NormalStencilDesc, coef: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """(AtA) @ x from the assembled stencil: (grid, NC), (num_vars,) ->
+    (num_vars,).  Pure flat shifted multiply-adds + one small block einsum;
+    everything fuses (no gathers, no concatenates, no row space)."""
+    N, m = desc.grid_size, desc.n_mi
+    X = x.reshape(N, m)
+    D = coef[:, : m * m].reshape(N, m, m)
+    Y = jnp.einsum(
+        "nij,nj->ni", D, X, precision=jax.lax.Precision.HIGHEST
+    )
+
+    # per-channel accumulators for the band contributions
+    acc = {}
+
+    def add(ch_i: int, val: jnp.ndarray):
+        acc[ch_i] = acc.get(ch_i, 0.0) + val
+
+    for b in desc.bands:
+        g = coef[:, b.ch]
+        s = b.stride
+        if b.kind == "vv":
+            ci, cj = 0, 0
+        elif b.kind == "vd":
+            ci, cj = 0, b.mi_k
+        else:  # 'dv'
+            ci, cj = b.mi_k, 0
+        xi, xj = X[:, ci], X[:, cj]
+        # y_i[p] += g[p] * x_j[p + s];  y_j[p + s] += g[p] * x_i[p]
+        add(ci, jnp.pad(g[: N - s] * xj[s:], (0, s)))
+        add(cj, jnp.pad((g * xi)[: N - s], (s, 0)))
+
+    cols = [Y[:, i] + acc[i] if i in acc else Y[:, i] for i in range(m)]
+    return jnp.stack(cols, axis=1).reshape(-1)
+
+
+def make_normal_stencil_ops(spec: ConstraintSpec):
+    """(desc, build, apply) convenience bundle for one system."""
+    desc = make_desc(spec)
+
+    def build(sv: StructuredValues) -> jnp.ndarray:
+        return build_normal_coef(spec, desc, sv)
+
+    def apply_(coef: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        return normal_stencil_matvec(desc, coef, x)
+
+    return desc, build, apply_
