@@ -115,6 +115,47 @@ def main():
     f = jax.jit(fine_mv)
     print("20x f64 normal mv %.3f s" % timeit(f), flush=True)
 
+    # ---- assembled block-stencil normal operator (ops/normal_stencil) ----
+    from mech_nn_discovery_pde_tpu.ops.structured import split_values
+
+    desc, sbuild, sapply = mgs._nstencil[0]
+
+    def stencil_build(k):
+        def one(v):
+            return sbuild(split_values(sys0.spec, v.astype(jnp.float32)))
+        return jax.vmap(one)(values + 1e-12 * k)
+
+    f = jax.jit(stencil_build)
+    print("stencil build f32 %.3f s" % timeit(f), flush=True)
+    coef32 = f(0)
+
+    def stencil_mv20(k, c):
+        def one(ci, x):
+            def body(i, x):
+                return sapply(ci, x) * 0.5 + x
+            return jax.lax.fori_loop(0, 20, body, x)
+        return jax.vmap(one)(c, x32 + 1e-9 * k)
+
+    f = jax.jit(stencil_mv20)
+    print("20x f32 stencil mv %.3f s" % timeit(f, coef32), flush=True)
+
+    def stencil_build64(k):
+        def one(v):
+            return sbuild(split_values(sys0.spec, v))
+        return jax.vmap(one)(values + 1e-12 * k)
+
+    coef64 = jax.jit(stencil_build64)(0)
+
+    def stencil_mv20_64(k, c):
+        def one(ci, x):
+            def body(i, x):
+                return sapply(ci, x) * 0.5 + x
+            return jax.lax.fori_loop(0, 20, body, x)
+        return jax.vmap(one)(c, x0 + 1e-9 * k)
+
+    f = jax.jit(stencil_mv20_64)
+    print("20x f64 stencil mv %.3f s" % timeit(f, coef64), flush=True)
+
 
 if __name__ == "__main__":
     main()

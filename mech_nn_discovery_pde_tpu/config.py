@@ -40,6 +40,19 @@ class PDEConfig:
 
     mg_fgmres_tol: float = 1e-5
 
+    # normal-operator application inside the MG/FGMRES iteration:
+    # 'stencil'        — AtA assembled once per solve into axis-aligned
+    #                    block-stencil fields (ops/normal_stencil.py); every
+    #                    apply is a short fused chain of flat shifted
+    #                    multiply-adds.  ~10x less HBM traffic per apply than
+    #                    'factored' on TPU.
+    # 'stencil_pallas' — same representation, applied by a Pallas kernel
+    #                    that keeps the whole sample in VMEM (one HBM read
+    #                    of coef+x, one write of y).
+    # 'factored'       — matrix-free A^T (A x) through the structured
+    #                    shifted-slice operators (ops/structured.py).
+    mg_normal_op: str = "stencil"
+
     # smoother selection: 'chebyshev' or 'jacobi' (both point-block
     # preconditioned)
     mg_smoother: str = "chebyshev"
@@ -52,20 +65,32 @@ class PDEConfig:
     # 'solver' (= f64 when solver_dbl) or 'f32'.  f32 halves the fine-matvec
     # cost ~6x on TPU (f64 is emulated); the f32 residual floor (~1e-6
     # relative) sits well below the 40-iteration budget's ~2e-4.
-    mg_solve_dtype: str = "solver"
+    # 'auto' resolves to 'f32' on TPU and 'solver' elsewhere.
+    mg_solve_dtype: str = "auto"
     jacobi_w: float = 0.4
     jacobi_w_forward: float = 0.45
 
     # ---- precision policy ----
+    # 'auto'     : 'f32_ir' on TPU (the validated configuration: f64 is
+    #              software-emulated there, ~50-150x slower), 'f64' elsewhere
     # 'f64'      : everything float64 (reference semantics; emulated on TPU)
     # 'f32_ir'   : factor/solve in float32, iterative refinement with float64
     #              residuals (TPU-native mixed precision)
     # 'f32'      : everything float32
-    precision: str = "f64"
+    precision: str = "auto"
     # factor-preconditioned-CG refinement steps for the mixed-precision dense
     # path (6 steps converge the Burgers-scale system to ~1e-4 solution
     # error; 8 to ~1e-6)
     ir_steps: int = 6
+
+    # ---- solve diagnostics (reference logs fwd+bwd residual norms every
+    # solve, qp_dual_sparse...:59-60,105-107, and hard-fails on indefinite
+    # AtA via cholesky_ex(check_errors=True), qp_dual_dense...:39) ----
+    # log per-solve forward/backward normal-residual norms (+ FGMRES
+    # iteration counts on the multigrid path) through the package logger
+    log_solves: bool = False
+    # raise on non-finite solutions (host-side, from inside jit)
+    check_finite: bool = False
 
     @property
     def ginzburg_dir(self) -> str:

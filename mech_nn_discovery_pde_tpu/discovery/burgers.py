@@ -31,7 +31,11 @@ import optax
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig
 from mech_nn_discovery_pde_tpu.data.datasets import BurgersDataset, PatchLoader
-from mech_nn_discovery_pde_tpu.discovery.common import fixed_steps, make_update
+from mech_nn_discovery_pde_tpu.discovery.common import (
+    TrainHarness,
+    fixed_steps,
+    make_update,
+)
 from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
 from mech_nn_discovery_pde_tpu.models.paramnet import ParamNet
 from mech_nn_discovery_pde_tpu.models.resnet import ResNet
@@ -52,7 +56,12 @@ class BurgersConfig:
     steps_per_epoch: Optional[int] = None  # None = full pass
     seed: int = 10
     data_root: str = "data"
-    pde: PDEConfig = field(default_factory=lambda: PDEConfig(precision="f32_ir"))
+    # resume training from an existing run dir's checkpoints (else new run)
+    resume_from: Optional[str] = None
+    ckpt_every: int = 25
+    pde: PDEConfig = field(
+        default_factory=lambda: PDEConfig(precision="f32_ir", log_solves=True)
+    )
 
 
 BASIS_TEXT = [
@@ -174,7 +183,10 @@ class BurgersDiscovery:
 
 def train(cfg: Optional[BurgersConfig] = None, log=None):
     cfg = cfg or BurgersConfig()
-    log_dir, run_id = rundir.create_log_dir(root="logs/burgers", reuse=False)
+    if cfg.resume_from:
+        log_dir, run_id = cfg.resume_from, cfg.resume_from
+    else:
+        log_dir, run_id = rundir.create_log_dir(root="logs/burgers", reuse=False)
     rundir.write_source_files(log_dir)
     log = log or logging_util.setup(log_dir, name="burgers")
     log.info(f"Burgers viscous discovery, solver dim {cfg.solver_dim}")
@@ -190,19 +202,24 @@ def train(cfg: Optional[BurgersConfig] = None, log=None):
     update = make_update(model.loss_fn, optimizer)
     loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)
 
-    for epoch in range(cfg.epochs):
+    harness = TrainHarness(log_dir, params, opt_state, log=log,
+                           ckpt_every=cfg.ckpt_every)
+    params, opt_state = harness.params, harness.opt_state
+    for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
         for i, (patch, t_idx, x_idx) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
-            params, opt_state, loss, aux = update(
-                params, opt_state, jnp.asarray(patch), jnp.asarray(t_idx),
-                jnp.asarray(x_idx),
-            )
-            losses.append(float(loss))
+            with harness.timer.phase("update"):
+                params, opt_state, loss, aux = update(
+                    params, opt_state, jnp.asarray(patch), jnp.asarray(t_idx),
+                    jnp.asarray(x_idx),
+                )
+                losses.append(float(loss))
         eq = print_eq(np.asarray(model.get_params(params)))
         log.info(f"Learned\n{eq}\n")
         log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
+        harness.end_epoch(epoch, params, opt_state)
     return params, model
 
 

@@ -33,3 +33,55 @@ def make_update(loss_fn: Callable, optimizer: optax.GradientTransformation):
         return params, opt_state, loss, aux
 
     return update
+
+
+class TrainHarness:
+    """Checkpoint/resume + phase timing for the discovery training loops
+    (SURVEY 5.1/5.4: the reference has neither; its recovery story is logs
+    only and long runs on a worker that can fault need better).
+
+    Usage:
+        harness = TrainHarness(log_dir, params, opt_state, log=log)
+        params, opt_state = harness.params, harness.opt_state
+        for epoch in range(harness.start_epoch, cfg.epochs):
+            with harness.timer.phase("update"):
+                ...train steps...
+            harness.end_epoch(epoch, params, opt_state)
+    """
+
+    def __init__(
+        self,
+        log_dir: str,
+        params: Any,
+        opt_state: Any,
+        resume: bool = True,
+        ckpt_every: int = 25,
+        log=None,
+    ):
+        from mech_nn_discovery_pde_tpu.utils.checkpoint import Checkpointer
+        from mech_nn_discovery_pde_tpu.utils.profiling import PhaseTimer
+
+        self.ckpt = Checkpointer(log_dir)
+        self.ckpt_every = ckpt_every
+        self.timer = PhaseTimer()
+        self.log = log
+        self.params, self.opt_state = params, opt_state
+        self.start_epoch = 0
+        if resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                restored = self.ckpt.restore(
+                    {"params": params, "opt_state": opt_state}, step=latest
+                )
+                self.params = restored["params"]
+                self.opt_state = restored["opt_state"]
+                self.start_epoch = latest + 1
+                if log:
+                    log.info(f"resumed from checkpoint at epoch {latest}")
+
+    def end_epoch(self, epoch: int, params: Any, opt_state: Any) -> None:
+        if self.ckpt_every and (epoch + 1) % self.ckpt_every == 0:
+            with self.timer.phase("checkpoint"):
+                self.ckpt.save(epoch, {"params": params, "opt_state": opt_state})
+            if self.log:
+                self.log.info("phase timings:\n" + self.timer.report())

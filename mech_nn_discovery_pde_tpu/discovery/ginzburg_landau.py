@@ -25,7 +25,11 @@ import optax
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig
 from mech_nn_discovery_pde_tpu.data.datasets import PatchLoader, ReactDiffDataset
-from mech_nn_discovery_pde_tpu.discovery.common import fixed_steps, make_update
+from mech_nn_discovery_pde_tpu.discovery.common import (
+    TrainHarness,
+    fixed_steps,
+    make_update,
+)
 from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
 from mech_nn_discovery_pde_tpu.models.paramnet import ParamNet
 from mech_nn_discovery_pde_tpu.models.resnet import ResNet
@@ -41,6 +45,8 @@ class GLConfig:
     lr: float = 1e-5
     epochs: int = 500
     steps_per_epoch: Optional[int] = None
+    resume_from: Optional[str] = None
+    ckpt_every: int = 25
     threshold: float = 0.1
     first_equation: bool = True
     nn_transform: bool = False
@@ -48,7 +54,13 @@ class GLConfig:
     noise_percent: float = 0.0
     seed: int = 10
     data_root: str = "data"
-    pde: PDEConfig = field(default_factory=PDEConfig)
+    # validated TPU configuration: f32 factorizations + f64-residual
+    # refinement, f32 outer FGMRES, per-solve diagnostics logged
+    pde: PDEConfig = field(
+        default_factory=lambda: PDEConfig(
+            precision="f32_ir", mg_solve_dtype="f32", log_solves=True
+        )
+    )
 
 
 BASIS_TEXT = [
@@ -186,7 +198,10 @@ class GLDiscovery:
 
 def train(cfg: Optional[GLConfig] = None, log=None):
     cfg = cfg or GLConfig()
-    log_dir, run_id = rundir.create_log_dir(root="logs/gl", reuse=False)
+    if cfg.resume_from:
+        log_dir, run_id = cfg.resume_from, cfg.resume_from
+    else:
+        log_dir, run_id = rundir.create_log_dir(root="logs/gl", reuse=False)
     rundir.write_source_files(log_dir)
     log = log or logging_util.setup(log_dir, name="gl")
     log.info(f"Ginzburg-Landau discovery, solver dim {cfg.solver_dim}")
@@ -203,18 +218,23 @@ def train(cfg: Optional[GLConfig] = None, log=None):
     update = make_update(model.loss_fn, optimizer)
     loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)
 
-    for epoch in range(cfg.epochs):
+    harness = TrainHarness(log_dir, params, opt_state, log=log,
+                           ckpt_every=cfg.ckpt_every)
+    params, opt_state = harness.params, harness.opt_state
+    for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
         for i, (u, v, t, x, y) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
-            params, opt_state, loss, aux = update(
-                params, opt_state, jnp.asarray(u), jnp.asarray(v)
-            )
-            losses.append(float(loss))
+            with harness.timer.phase("update"):
+                params, opt_state, loss, aux = update(
+                    params, opt_state, jnp.asarray(u), jnp.asarray(v)
+                )
+                losses.append(float(loss))
         pl = [np.asarray(p) for p in model.get_params(params)]
         log.info(print_eq(pl))
         log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
+        harness.end_epoch(epoch, params, opt_state)
     return params, model
 
 

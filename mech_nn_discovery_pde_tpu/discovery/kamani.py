@@ -30,7 +30,11 @@ import optax
 from mech_nn_discovery_pde_tpu.config import PDEConfig
 from mech_nn_discovery_pde_tpu.data.datasets import KamaniDataset, PatchLoader
 from mech_nn_discovery_pde_tpu.data.generate import KAMANI_PARAMS, kamani_rhs
-from mech_nn_discovery_pde_tpu.discovery.common import fixed_steps, make_update
+from mech_nn_discovery_pde_tpu.discovery.common import (
+    TrainHarness,
+    fixed_steps,
+    make_update,
+)
 from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
 from mech_nn_discovery_pde_tpu.models.paramnet import ParamNet
 from mech_nn_discovery_pde_tpu.models.resnet import ResNet1D
@@ -49,7 +53,11 @@ class KamaniConfig:
     seed: int = 10
     data_root: str = "data"
     plot_every: int = 10
-    pde: PDEConfig = field(default_factory=lambda: PDEConfig(precision="f32_ir"))
+    resume_from: Optional[str] = None
+    ckpt_every: int = 25
+    pde: PDEConfig = field(
+        default_factory=lambda: PDEConfig(precision="f32_ir", log_solves=True)
+    )
 
 
 class KamaniDiscovery:
@@ -184,7 +192,10 @@ def true_params():
 
 def train(cfg: Optional[KamaniConfig] = None, log=None):
     cfg = cfg or KamaniConfig()
-    log_dir, run_id = rundir.create_log_dir(root="logs/kamani", reuse=False)
+    if cfg.resume_from:
+        log_dir, run_id = cfg.resume_from, cfg.resume_from
+    else:
+        log_dir, run_id = rundir.create_log_dir(root="logs/kamani", reuse=False)
     rundir.write_source_files(log_dir)
     log = log or logging_util.setup(log_dir, name="kamani")
     log.info(f"Kamani rheology discovery, solver dim {cfg.solver_dim}")
@@ -198,21 +209,26 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
     loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)
 
     tp, te = true_params()
-    for epoch in range(cfg.epochs):
+    harness = TrainHarness(log_dir, params, opt_state, log=log,
+                           ckpt_every=cfg.ckpt_every)
+    params, opt_state = harness.params, harness.opt_state
+    for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
         for i, (t, u, s, sd, sdd) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
-            params, opt_state, loss, aux = update(
-                params, opt_state, jnp.asarray(u), jnp.asarray(sd), jnp.asarray(sdd)
-            )
-            losses.append(float(loss))
+            with harness.timer.phase("update"):
+                params, opt_state, loss, aux = update(
+                    params, opt_state, jnp.asarray(u), jnp.asarray(sd), jnp.asarray(sdd)
+                )
+                losses.append(float(loss))
         pr, er = (np.asarray(a) for a in model.get_params(params))
         log.info(f"param {pr}\nexps {er}")
         log.info(f"True param {tp}\nTrue exp {te}")
         log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
         if cfg.plot_every and (epoch + 1) % cfg.plot_every == 0:
             simulate_overlay(epoch, pr, er, log_dir)
+        harness.end_epoch(epoch, params, opt_state)
     return params, model
 
 

@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig, default_config
-from mech_nn_discovery_pde_tpu.ops.normal_solve import make_lstsq_solve
+from mech_nn_discovery_pde_tpu.ops.normal_solve import (
+    default_stats_fn,
+    make_lstsq_solve,
+)
 from mech_nn_discovery_pde_tpu.ops.system import PDESystem
 from mech_nn_discovery_pde_tpu.solvers.cholesky import DenseNormalSolver
 
@@ -76,17 +79,43 @@ class PDEDenseLayer:
 
         if solver_dbl:
             precision = self.config.precision
+            if precision == "auto":
+                # TPU f64 is software-emulated (~50-150x slower); the
+                # validated TPU configuration is f32 factorization +
+                # f64-residual refinement
+                precision = "f32_ir" if jax.default_backend() == "tpu" else "f64"
             self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         else:
             precision = "f32"
             self.dtype = jnp.float32
+        if precision not in ("f64", "f32_ir", "f32"):
+            raise ValueError(
+                f"unknown precision {precision!r}; expected 'auto', 'f64', "
+                "'f32_ir' or 'f32'"
+            )
         if not jax.config.jax_enable_x64 and precision in ("f64", "f32_ir"):
             precision = "f32"
 
         self.inner = DenseNormalSolver(
             self.system, precision=precision, ir_steps=self.config.ir_steps
         )
-        self._solve = make_lstsq_solve(self.system, self.inner)
+        stats_fn = None
+        if self.config.log_solves or self.config.check_finite:
+            from mech_nn_discovery_pde_tpu.ops.normal_solve import (
+                host_callbacks_supported,
+            )
+
+            if host_callbacks_supported():
+                stats_fn = default_stats_fn(check_finite=self.config.check_finite)
+            else:
+                import logging
+
+                logging.getLogger("pde").warning(
+                    "log_solves/check_finite requested but this backend does "
+                    "not support host callbacks (axon tunnel) — per-solve "
+                    "diagnostics disabled; use layer.solve_stats() instead"
+                )
+        self._solve = make_lstsq_solve(self.system, self.inner, stats_fn=stats_fn)
 
     # ------------------------------------------------------------------
 

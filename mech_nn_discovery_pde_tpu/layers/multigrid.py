@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig, default_config
-from mech_nn_discovery_pde_tpu.ops.normal_solve import make_lstsq_solve
+from mech_nn_discovery_pde_tpu.ops.normal_solve import (
+    default_stats_fn,
+    make_lstsq_solve,
+)
 from mech_nn_discovery_pde_tpu.solvers.multigrid import (
     MultigridNormalSolver,
     MultigridSolver,
@@ -72,7 +75,23 @@ class MultigridLayer:
         self.dtype = self.mg_solver.dtype
 
         self.inner = MultigridNormalSolver(self.mg_solver)
-        self._solve = make_lstsq_solve(self.system, self.inner)
+        stats_fn = None
+        if self.config.log_solves or self.config.check_finite:
+            from mech_nn_discovery_pde_tpu.ops.normal_solve import (
+                host_callbacks_supported,
+            )
+
+            if host_callbacks_supported():
+                stats_fn = default_stats_fn(check_finite=self.config.check_finite)
+            else:
+                import logging
+
+                logging.getLogger("pde").warning(
+                    "log_solves/check_finite requested but this backend does "
+                    "not support host callbacks (axon tunnel) — per-solve "
+                    "diagnostics disabled; use layer.solve_stats() instead"
+                )
+        self._solve = make_lstsq_solve(self.system, self.inner, stats_fn=stats_fn)
 
     def __call__(self, coeffs, rhs, iv_rhs, steps_list):
         b = self.bs * self.n_ind_dim

@@ -99,6 +99,11 @@ class ConstraintSpec:
     # initial/boundary metadata (for runtime rhs routing + MG downsampling)
     iv_boxes: List[IVBox] = field(default_factory=list)
 
+    # evolution=True redirects equation-row time-derivative entries to the
+    # previous time step (reference :756-761).  The structured/stencil fast
+    # paths assume same-point equation entries and must not be used then.
+    evolution: bool = False
+
     # per-coord central-stencil layout metadata used by the runtime fill
     # (n_central_mi = number of derivative orders handled per point per coord)
     n_central_mi: int = 0
@@ -380,6 +385,7 @@ def build_constraint_spec(
         init_values_static=init_vals,
         deriv_values_static=deriv_vals,
         iv_boxes=boxes,
+        evolution=evolution,
         n_central_mi=len(vs.central_mi_indices(0)),
         n_central_rows=n_central_rows,
         n_central_entries=n_central_entries,

@@ -48,16 +48,31 @@ class LstsqInnerSolver(Protocol):
         ...
 
 
-def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
+def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver, stats_fn=None):
     """Build the custom-VJP batched solve function for one PDESystem.
 
     Signature of the returned function: solve(values, rhs, pdata) -> x, where
     pdata is non-differentiated auxiliary data (e.g. the multigrid hierarchy;
     preconditioning affects convergence only, so its cotangent is zero —
     matching the reference, which builds coarse grids inside the
-    autograd.Function forward, outside the tape)."""
+    autograd.Function forward, outside the tape).
+
+    If `stats_fn` is given it is invoked (host-side, via jax.debug.callback)
+    after every forward AND backward solve as stats_fn(phase, stats) with
+    phase in {'forward', 'backward'} and stats a dict of per-batch arrays:
+    'rnorm' / 'rel_rnorm' (normal-equation residual), 'finite', plus any
+    solver-specific entries (e.g. FGMRES 'iters') — parity with the
+    reference's per-solve residual logging
+    (qp_dual_sparse_multigrid_normal_kkt.py:59-60,105-107)."""
 
     matvec_b = jax.vmap(system.matvec_s)
+    rmatvec_b = jax.vmap(system.rmatvec_s)
+    normal_b = jax.vmap(system.normal_matvec_s)
+
+    def _emit(phase, stats):
+        import functools
+
+        jax.debug.callback(functools.partial(stats_fn, phase), stats)
 
     @jax.custom_vjp
     def lstsq_solve(values, rhs, pdata):
@@ -67,11 +82,36 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
     def fwd(values, rhs, pdata):
         x, aux = inner.solve(values, rhs, pdata)
         lam = rhs - matvec_b(values, x)
+        if stats_fn is not None:
+            # A^T lam = At b - AtA x: the normal-equation residual, two
+            # cheap matvecs on top of the solve
+            rn = jnp.linalg.norm(rmatvec_b(values, lam), axis=1)
+            bn = jnp.linalg.norm(rmatvec_b(values, rhs), axis=1)
+            stats = {
+                "rnorm": rn,
+                "rel_rnorm": rn / jnp.maximum(bn, 1e-30),
+                "finite": jnp.isfinite(x).all(axis=1),
+            }
+            extra = getattr(inner, "stats", None)
+            if extra is not None:
+                stats.update(extra(aux))
+            _emit("forward", stats)
         return x, (values, x, lam, aux, pdata)
 
     def bwd(res, g):
         values, x, lam, aux, pdata = res
         dz = inner.resolve(values, g, aux, backward=True)
+        if stats_fn is not None:
+            rn = jnp.linalg.norm(g - normal_b(values, dz), axis=1)
+            gn = jnp.linalg.norm(g, axis=1)
+            _emit(
+                "backward",
+                {
+                    "rnorm": rn,
+                    "rel_rnorm": rn / jnp.maximum(gn, 1e-30),
+                    "finite": jnp.isfinite(dz).all(axis=1),
+                },
+            )
         w = matvec_b(values, dz)  # A dz
         rows = system.rows_all
         cols = system.cols_all
@@ -84,3 +124,57 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver):
 
     lstsq_solve.defvjp(fwd, bwd)
     return lstsq_solve
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def host_callbacks_supported() -> bool:
+    """Whether the default backend supports jax.debug.callback.  The 'axon'
+    TPU tunnel backend raises UNIMPLEMENTED (no host send/recv callbacks);
+    per-solve logging must degrade gracefully there.  Probed live once and
+    cached."""
+    try:
+        def f(x):
+            jax.debug.callback(lambda v: None, x)
+            return x
+
+        jax.jit(f)(jnp.zeros(())).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
+def default_stats_fn(log=None, check_finite: bool = False, name: str = "pde"):
+    """Host-side per-solve stats consumer: logs summary norms through the
+    package logger and (optionally) raises on non-finite solutions — the
+    analogue of the reference's cholesky_ex(check_errors=True) hard-fail
+    (qp_dual_dense_normal_kkt.py:39)."""
+    import logging
+
+    log = log or logging.getLogger(name)
+
+    def fn(phase, stats):
+        import numpy as np
+
+        rel = np.asarray(stats["rel_rnorm"])
+        finite = bool(np.asarray(stats["finite"]).all())
+        msg = (
+            f"solve[{phase}] rel_rnorm mean={rel.mean():.3e} "
+            f"max={rel.max():.3e}"
+        )
+        if "iters" in stats:
+            it = np.asarray(stats["iters"])
+            msg += f" iters mean={it.mean():.1f} max={int(it.max())}"
+        if not finite:
+            msg += " NON-FINITE SOLUTION"
+            log.error(msg)
+            if check_finite:
+                raise FloatingPointError(
+                    f"{phase} PDE solve produced non-finite solution"
+                )
+        else:
+            log.info(msg)
+
+    return fn

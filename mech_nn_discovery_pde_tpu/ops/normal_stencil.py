@@ -21,7 +21,7 @@ Hence (AtA)[(p,i),(q,j)] is nonzero only for q = p + delta * e_c with
 |delta| <= 4, and the only channel pairs (i, j) at delta != 0 are
 (value, value), (value, deriv_c) and (deriv_c, value).  The representation is
 
-  coef[point, ch] with channels =
+  coef[ch, point] (channel-major) with channels =
       [ dense n_mi x n_mi offset-0 block (row-major) |
         per axis c, per delta in 1..4:
             vv   : (value@p,   value@p+d)
@@ -79,6 +79,12 @@ class NormalStencilDesc(NamedTuple):
 
 
 def make_desc(spec: ConstraintSpec) -> NormalStencilDesc:
+    if spec.evolution:
+        raise NotImplementedError(
+            "evolution=True equation rows reference the previous time step; "
+            "the block-stencil normal operator assumes same-point equation "
+            "entries (as does ops/structured.py) — use the COO paths"
+        )
     vs = spec.var_set
     m = vs.n_mi
     strides = _point_strides(spec.coord_dims)
@@ -120,9 +126,13 @@ def build_normal_coef(
 ) -> jnp.ndarray:
     """Assemble AtA stencil fields from one sample's StructuredValues.
 
-    Returns (grid_size, n_channels).  Pure jittable JAX (static slices only);
-    vmap over the leading axis for batches.  Runs once per solve per level —
-    not a hot path."""
+    Returns CHANNEL-MAJOR (n_channels, grid_size): each channel is one
+    contiguous grid-shaped field, which is what both the XLA apply (flat
+    shifted multiply-adds on rows) and the Pallas apply (whole sample in
+    VMEM) want.  Assembly happens point-major (grid slices) and transposes
+    once at the end.  Pure jittable JAX (static slices only); vmap over the
+    leading axis for batches.  Runs once per solve per level — not a hot
+    path."""
     vs = spec.var_set
     dims = spec.coord_dims
     nd = len(dims)
@@ -240,44 +250,93 @@ def build_normal_coef(
                     chb = _band_channel(desc, c, 1, "vd", mik)  # (val@q-1, deriv@q)
                 C = C.at[lo_sl + (chb,)].add(prod)
 
-    return C.reshape(vs.grid_size, desc.n_channels)
+    return C.reshape(vs.grid_size, desc.n_channels).T
+
+
+def _band_channels(b: Band) -> Tuple[int, int]:
+    """(mi channel at p, mi channel at p+stride) of a band entry."""
+    if b.kind == "vv":
+        return 0, 0
+    if b.kind == "vd":
+        return 0, b.mi_k
+    return b.mi_k, 0  # 'dv'
 
 
 def normal_stencil_matvec(
     desc: NormalStencilDesc, coef: jnp.ndarray, x: jnp.ndarray
 ) -> jnp.ndarray:
-    """(AtA) @ x from the assembled stencil: (grid, NC), (num_vars,) ->
-    (num_vars,).  Pure flat shifted multiply-adds + one small block einsum;
-    everything fuses (no gathers, no concatenates, no row space)."""
+    """(AtA) @ x from the assembled stencil: (NC, grid), (num_vars,) ->
+    (num_vars,).  Pure flat shifted multiply-adds, channel-major; everything
+    fuses (no gathers, no concatenates, no row space)."""
     N, m = desc.grid_size, desc.n_mi
-    X = x.reshape(N, m)
-    D = coef[:, : m * m].reshape(N, m, m)
-    Y = jnp.einsum(
-        "nij,nj->ni", D, X, precision=jax.lax.Precision.HIGHEST
-    )
+    X = x.reshape(N, m).T  # (m, N) channel-major
 
-    # per-channel accumulators for the band contributions
-    acc = {}
-
-    def add(ch_i: int, val: jnp.ndarray):
-        acc[ch_i] = acc.get(ch_i, 0.0) + val
+    # dense offset-0 block: y_i = sum_j D[i, j] * x_j
+    ys = []
+    for i in range(m):
+        acc = coef[i * m] * X[0]
+        for j in range(1, m):
+            acc = acc + coef[i * m + j] * X[j]
+        ys.append(acc)
 
     for b in desc.bands:
-        g = coef[:, b.ch]
+        g = coef[b.ch]
         s = b.stride
-        if b.kind == "vv":
-            ci, cj = 0, 0
-        elif b.kind == "vd":
-            ci, cj = 0, b.mi_k
-        else:  # 'dv'
-            ci, cj = b.mi_k, 0
-        xi, xj = X[:, ci], X[:, cj]
+        ci, cj = _band_channels(b)
         # y_i[p] += g[p] * x_j[p + s];  y_j[p + s] += g[p] * x_i[p]
-        add(ci, jnp.pad(g[: N - s] * xj[s:], (0, s)))
-        add(cj, jnp.pad((g * xi)[: N - s], (s, 0)))
+        ys[ci] = ys[ci] + jnp.pad(g[: N - s] * X[cj][s:], (0, s))
+        ys[cj] = ys[cj] + jnp.pad((g * X[ci])[: N - s], (s, 0))
 
-    cols = [Y[:, i] + acc[i] if i in acc else Y[:, i] for i in range(m)]
-    return jnp.stack(cols, axis=1).reshape(-1)
+    return jnp.stack(ys, axis=1).reshape(-1)
+
+
+def normal_stencil_matvec_pallas(
+    desc: NormalStencilDesc,
+    coef: jnp.ndarray,
+    x: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas TPU apply: the whole sample (stencil fields + solution vector)
+    resides in VMEM and every shifted multiply-add happens on-chip, so HBM
+    traffic is exactly read-coef + read-x + write-y once.  The XLA apply
+    (normal_stencil_matvec) is the ground truth; this must match it
+    bit-for-bit up to add ordering.
+
+    Sizes: needs (NC + 2m) * grid * 4 bytes of VMEM — 3.8 MB for the GL
+    fine level (8, 32, 32), comfortably under the ~16 MB/core budget.  For
+    larger grids fall back to the XLA apply."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, N = desc.n_mi, desc.grid_size
+
+    def kernel(coef_ref, x_ref, y_ref):
+        # dense offset-0 block
+        for i in range(m):
+            acc = coef_ref[i * m, :] * x_ref[0, :]
+            for j in range(1, m):
+                acc = acc + coef_ref[i * m + j, :] * x_ref[j, :]
+            y_ref[i, :] = acc
+        # axis bands: symmetric application of each stored entry
+        for b in desc.bands:
+            s = b.stride
+            ci, cj = _band_channels(b)
+            g = coef_ref[b.ch, 0 : N - s]
+            y_ref[ci, 0 : N - s] = y_ref[ci, 0 : N - s] + g * x_ref[cj, s:N]
+            y_ref[cj, s:N] = y_ref[cj, s:N] + g * x_ref[ci, 0 : N - s]
+
+    X = x.reshape(N, m).T
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, N), x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coef, X)
+    return y.T.reshape(-1)
 
 
 def make_normal_stencil_ops(spec: ConstraintSpec):

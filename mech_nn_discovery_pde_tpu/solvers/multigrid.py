@@ -36,6 +36,7 @@ import numpy as np
 
 from mech_nn_discovery_pde_tpu.config import PDEConfig, default_config
 from mech_nn_discovery_pde_tpu.ops.interp import interp_matrix, apply_separable
+from mech_nn_discovery_pde_tpu.ops.normal_stencil import make_normal_stencil_ops
 from mech_nn_discovery_pde_tpu.ops.structured import make_structured_ops, split_values
 from mech_nn_discovery_pde_tpu.ops.system import PDESystem
 from mech_nn_discovery_pde_tpu.solvers import krylov
@@ -71,6 +72,12 @@ class MultigridSolver:
         device=None,
     ):
         del n_iv_steps, gamma, alpha, double_ret, device
+        if evolution:
+            raise NotImplementedError(
+                "the multigrid path builds on structured/stencil operators "
+                "which assume evolution=False (every reference layer "
+                "instantiates evolution=False, pde_layer_dense.py:72)"
+            )
         self.bs = bs
         self.n_ind_dim = n_ind_dim
         self.order = order
@@ -83,6 +90,17 @@ class MultigridSolver:
         x64 = jax.config.jax_enable_x64
         self.dtype = jnp.float64 if (solver_dbl and x64) else jnp.float32
         self.pdtype = jnp.float32  # preconditioner dtype
+        if self.config.mg_normal_op not in ("stencil", "stencil_pallas", "factored"):
+            raise ValueError(
+                f"unknown mg_normal_op {self.config.mg_normal_op!r}; expected "
+                "'stencil', 'stencil_pallas' or 'factored'"
+            )
+        msd = self.config.mg_solve_dtype
+        if msd == "auto":
+            msd = "f32" if jax.default_backend() == "tpu" else "solver"
+        if msd not in ("f32", "solver"):
+            raise ValueError(f"unknown mg_solve_dtype {msd!r}")
+        self.solve_dtype = jnp.float32 if msd == "f32" else self.dtype
 
         # grid hierarchy
         dims = np.array(coord_dims)
@@ -108,6 +126,8 @@ class MultigridSolver:
         # preconditioner, solve dtype for the fine level)
         self._sops32 = [make_structured_ops(sysk.spec, self.pdtype) for sysk in self.systems]
         self._sops = [make_structured_ops(sysk.spec, self.dtype) for sysk in self.systems]
+        # assembled block-stencil AtA per level (config.mg_normal_op)
+        self._nstencil = [make_normal_stencil_ops(sysk.spec) for sysk in self.systems]
 
         # transfer matrices between consecutive levels (per axis)
         self._down = [
@@ -217,8 +237,31 @@ class MultigridSolver:
 
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
-        lmax = self._estimate_lmax(k, sv, binv)
-        return {"values": v32, "sv": sv, "binv": binv, "lmax": lmax}
+        lvl = {"values": v32, "sv": sv, "binv": binv}
+        if self.config.mg_normal_op == "stencil":
+            _, build, _ = self._nstencil[k]
+            lvl["coef"] = jax.vmap(build)(sv)
+        lvl["lmax"] = self._estimate_lmax(k, lvl)
+        return lvl
+
+    def _normal_apply(self, k: int, lvl, v: jnp.ndarray) -> jnp.ndarray:
+        """(AtA) v on level k from per-sample smoother data: assembled
+        block-stencil apply (default; XLA or Pallas) or factored A^T (A v)
+        fallback."""
+        op = self.config.mg_normal_op
+        if op == "stencil_pallas":
+            from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
+                normal_stencil_matvec_pallas,
+            )
+
+            return normal_stencil_matvec_pallas(
+                self._nstencil[k][0], lvl["coef"], v
+            )
+        if op == "stencil":
+            _, _, apply_ = self._nstencil[k]
+            return apply_(lvl["coef"], v)
+        smv, srmv = self._sops32[k]
+        return srmv(lvl["sv"], smv(lvl["sv"], v))
 
     def _block_apply(self, sysk: PDESystem, binv, r):
         """Apply the block-Jacobi preconditioner r -> B^{-1} r via the
@@ -237,7 +280,7 @@ class MultigridSolver:
                        precision=jax.lax.Precision.HIGHEST)
         return z.reshape(-1)
 
-    def _estimate_lmax(self, k: int, sv, bchol, iters: int = 20):
+    def _estimate_lmax(self, k: int, lvl, iters: int = 20):
         """Power iteration on B^-1 AtA (batched), biased HIGH (30% margin).
 
         Chebyshev smoothing amplifies any mode above the assumed lmax
@@ -246,21 +289,24 @@ class MultigridSolver:
         the whole preconditioner (1.3e-1 vs 1.3e-6 relative residual at the
         40-iteration budget)."""
         sysk = self.systems[k]
-        mv, rmv = self._sops32[k]
 
-        def one(svs, bc):
+        def one(lvl_s):
             x = jnp.sin(jnp.arange(sysk.num_vars, dtype=self.pdtype) + 1.0)
             x = x / jnp.linalg.norm(x)
 
             def body(_, x):
-                y = self._block_apply(sysk, bc, rmv(svs, mv(svs, x)))
+                y = self._block_apply(
+                    sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x)
+                )
                 return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
 
             x = jax.lax.fori_loop(0, iters, body, x)
-            y = self._block_apply(sysk, bc, rmv(svs, mv(svs, x)))
+            y = self._block_apply(
+                sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x)
+            )
             return jnp.vdot(x, y)
 
-        return 1.3 * jax.vmap(one)(sv, bchol)
+        return 1.3 * jax.vmap(one)(lvl)
 
     @staticmethod
     def _block_row_slices(sys: PDESystem):
@@ -400,9 +446,8 @@ class MultigridSolver:
 
     def _smooth(self, k: int, lvl, b, x, steps: int, back: bool):
         sysk = self.systems[k]
-        smv, srmv = self._sops32[k]
         apply_B = lambda r: self._block_apply(sysk, lvl["binv"], r)
-        mv = lambda v: srmv(lvl["sv"], smv(lvl["sv"], v))
+        mv = lambda v: self._normal_apply(k, lvl, v)
         if self.config.mg_smoother == "jacobi":
             w = self.config.jacobi_w if back else self.config.jacobi_w_forward
             for _ in range(steps):
@@ -449,10 +494,9 @@ class MultigridSolver:
 
     def v_cycle(self, hier, b, k: int = 0, back: bool = False) -> jnp.ndarray:
         lvl = hier["levels"][k]
-        smv, srmv = self._sops32[k]
         x = jnp.zeros_like(b)
         x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre, back)
-        r = b - srmv(lvl["sv"], smv(lvl["sv"], x))
+        r = b - self._normal_apply(k, lvl, x)
         rH = self._restrict_vec(k, r)
         if k == self.n_grid - 2:
             deltaH = jnp.einsum("ij,j->i", hier["coarse_inv"], rH,
@@ -476,9 +520,9 @@ class MultigridSolver:
         )
         x = self.v_cycle(hier, r.astype(self.pdtype), 0, back)
         for _ in range(n_step - 1):
-            smv, srmv = self._sops32[0]
-            sv0 = hier["levels"][0]["sv"]
-            res = r.astype(self.pdtype) - srmv(sv0, smv(sv0, x))
+            res = r.astype(self.pdtype) - self._normal_apply(
+                0, hier["levels"][0], x
+            )
             x = x + self.v_cycle(hier, res, 0, back)
         return x.astype(r.dtype)
 
@@ -501,14 +545,28 @@ class MultigridSolver:
         else:
             atb = jax.vmap(sys0.rmatvec_s)(fine_values, rhs_vec)
 
-        sdt = jnp.float32 if cfg.mg_solve_dtype == "f32" else self.dtype
+        sdt = self.solve_dtype
         fmv, frmv = self._sops[0] if sdt == self.dtype else self._sops32[0]
         out_dtype = atb.dtype
 
-        def solve_one(vals, b, hier_s):
+        def fine_normal_op(vals):
+            """AtA matvec closure on the fine level in the solve dtype."""
             sv = split_values(sys0.spec, vals.astype(sdt))
+            if cfg.mg_normal_op in ("stencil", "stencil_pallas"):
+                desc, build, apply_ = self._nstencil[0]
+                coef = build(sv)
+                if cfg.mg_normal_op == "stencil_pallas":
+                    from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
+                        normal_stencil_matvec_pallas,
+                    )
+
+                    return lambda v: normal_stencil_matvec_pallas(desc, coef, v)
+                return lambda v: apply_(coef, v)
+            return lambda v: frmv(sv, fmv(sv, v))
+
+        def solve_one(vals, b, hier_s):
             res = krylov.fgmres(
-                lambda v: frmv(sv, fmv(sv, v)),
+                fine_normal_op(vals),
                 b.astype(sdt),
                 precond=lambda r: self.precondition(hier_s, r, back=back),
                 restart=restart,
@@ -532,6 +590,11 @@ class MultigridNormalSolver:
     def solve(self, values, rhs, pdata):
         x, iters, rnorm = self.mg.solve_normal(values, rhs, pdata, back=False)
         return x, (pdata, iters, rnorm)
+
+    def stats(self, aux):
+        """Per-sample FGMRES iteration counts / residual norms of the forward
+        solve (consumed by make_lstsq_solve's stats callback)."""
+        return {"iters": aux[1], "fgmres_rnorm": aux[2]}
 
     def resolve(self, values, g, aux, backward: bool):
         pdata = aux[0]

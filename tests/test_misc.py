@@ -219,3 +219,54 @@ def test_ell_matvec_matches_coo():
                                np.asarray(sys.matvec_coo(vals, x)), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(sys.rmatvec_packed(p, y)),
                                np.asarray(sys.rmatvec_coo(vals, y)), rtol=1e-12)
+
+
+def test_solve_stats_logging(caplog):
+    """With log_solves enabled the custom-VJP solve logs forward AND backward
+    normal-residual norms through the package logger (reference logs these
+    every solve, qp_dual_sparse...:59-60,105-107).  Runs on CPU where host
+    callbacks are supported."""
+    import logging
+
+    from mech_nn_discovery_pde_tpu.config import PDEConfig
+    from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
+
+    bs, dims = 1, (8,)
+    ivs = [lambda nt: (0, 0, [0], [0])]
+    layer = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                          init_index_mi_list=ivs, solver_dbl=True,
+                          config=PDEConfig(precision="f64", log_solves=True))
+    rng = np.random.default_rng(0)
+    coeffs = jnp.asarray(rng.standard_normal((bs, layer.grid_size, 3)) * 0.1)
+    coeffs = coeffs.at[..., 1].add(1.0)
+    rhs = jnp.asarray(0.1 * rng.standard_normal((bs, layer.grid_size)))
+    iv = jnp.asarray(rng.standard_normal((bs, 1)))
+    steps = [jnp.full((bs, dims[0] - 1), 0.1)]
+
+    def loss(c):
+        u0, _, _ = layer(c, rhs, iv, steps)
+        return jnp.sum(u0**2)
+
+    with caplog.at_level(logging.INFO, logger="pde"):
+        jax.grad(loss)(coeffs)
+        jax.effects_barrier()
+    msgs = [r.message for r in caplog.records]
+    assert any("solve[forward]" in m for m in msgs), msgs
+    assert any("solve[backward]" in m for m in msgs), msgs
+
+
+def test_check_finite_raises():
+    """check_finite hard-fails on non-finite solutions (the analogue of the
+    reference's cholesky_ex(check_errors=True))."""
+    from mech_nn_discovery_pde_tpu.ops.normal_solve import default_stats_fn
+
+    fn = default_stats_fn(check_finite=True)
+    ok = {"rnorm": np.array([0.1]), "rel_rnorm": np.array([1e-6]),
+          "finite": np.array([True])}
+    fn("forward", ok)  # no raise
+    bad = {"rnorm": np.array([np.nan]), "rel_rnorm": np.array([np.nan]),
+           "finite": np.array([False])}
+    import pytest as _pytest
+
+    with _pytest.raises(FloatingPointError):
+        fn("forward", bad)

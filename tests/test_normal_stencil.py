@@ -101,3 +101,24 @@ def test_stencil_realistic_fill():
     got = normal_stencil_matvec(desc, coef, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_pallas_apply_matches_xla():
+    """The Pallas VMEM apply (interpret mode on CPU) matches the XLA apply
+    and the COO ground truth."""
+    from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
+        normal_stencil_matvec_pallas,
+    )
+
+    for dims in [(9,), (7, 9), (6, 7, 8)]:
+        sys = PDESystem.build(dims, order=2, init_index_mi_list=IVS[len(dims)],
+                              n_iv=1, step_size=0.15)
+        rng = np.random.default_rng(3)
+        values = jnp.asarray(rng.standard_normal(sys.n_entries).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal(sys.num_vars).astype(np.float32))
+        desc = make_desc(sys.spec)
+        coef = build_normal_coef(sys.spec, desc, split_values(sys.spec, values))
+        want = normal_stencil_matvec(desc, coef, x)
+        got = normal_stencil_matvec_pallas(desc, coef, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -135,3 +135,59 @@ def test_gl_harness_steps(tmp_path, monkeypatch):
     assert np.isfinite(losses).all()
     eq = print_eq([np.asarray(p) for p in model.get_params(params)])
     assert "u_t" in eq
+
+
+def test_train_harness_checkpoint_resume(tmp_path):
+    """TrainHarness saves at ckpt_every and a fresh harness resumes: params
+    and opt_state round-trip and start_epoch advances (SURVEY 5.4)."""
+    import optax
+    from mech_nn_discovery_pde_tpu.discovery.common import TrainHarness
+
+    params = {"w": jnp.arange(4.0), "b": {"x": jnp.ones((2, 3))}}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    run_dir = str(tmp_path / "run")
+    import os
+
+    os.makedirs(run_dir, exist_ok=True)
+
+    h = TrainHarness(run_dir, params, opt_state, ckpt_every=1)
+    assert h.start_epoch == 0
+    # mutate params as a training epoch would, then checkpoint
+    params2 = jax.tree.map(lambda a: a + 1.0, params)
+    h.end_epoch(0, params2, opt_state)
+
+    h2 = TrainHarness(run_dir, params, opt_state, ckpt_every=1)
+    assert h2.start_epoch == 1
+    for a, b in zip(jax.tree.leaves(h2.params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume_end_to_end(tmp_path, monkeypatch):
+    """Full loop: run 1 epoch of Burgers training in a run dir, then call
+    train() again with resume_from pointing at it — it must resume at epoch 1
+    with the checkpointed parameters (not re-init)."""
+    monkeypatch.chdir(tmp_path)
+    from mech_nn_discovery_pde_tpu.discovery.burgers import BurgersConfig, train
+
+    cfg = BurgersConfig(
+        solver_dim=(8, 16), batch_size=2, nn_transform=False, epochs=1,
+        steps_per_epoch=1, ckpt_every=1,
+        pde=PDEConfig(precision="f64"),
+        data_root=str(tmp_path / "data"),
+    )
+    params1, _ = train(cfg)
+    run_dir = str(tmp_path / "logs" / "burgers" / "0")
+    cfg2 = BurgersConfig(
+        solver_dim=(8, 16), batch_size=2, nn_transform=False, epochs=2,
+        steps_per_epoch=1, ckpt_every=1, resume_from=run_dir,
+        pde=PDEConfig(precision="f64"),
+        data_root=str(tmp_path / "data"),
+    )
+    params2, _ = train(cfg2)
+    # resumed run trained one more epoch on top of the checkpoint
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params2))
+    ]
+    assert max(diffs) > 0.0
