@@ -121,14 +121,21 @@ class DenseNormalSolver:
                 p = z
                 rz = jnp.vdot(r, z)
                 tiny = jnp.finfo(b.dtype).tiny
+                # curvature guard: p^T AtA p >= 0 in exact arithmetic but can
+                # round NEGATIVE for near-null p on this severely
+                # ill-conditioned system (observed on TPU's emulated-f64
+                # dots, Kamani bs>=256).  A max(*, tiny) guard then divides
+                # by 2e-308 and produces inf -> NaN params; instead freeze
+                # the update (alpha = 0) when curvature is not positive.
                 for _ in range(self.ir_steps):
                     Ap = mv(p)
-                    alpha = rz / jnp.maximum(jnp.vdot(p, Ap), tiny)
+                    pAp = jnp.vdot(p, Ap)
+                    alpha = jnp.where(pAp > tiny, rz / jnp.maximum(pAp, tiny), 0.0)
                     x = x + alpha * p
                     r = r - alpha * Ap
                     z = pc(r)
                     rz_new = jnp.vdot(r, z)
-                    beta = rz_new / jnp.maximum(rz, tiny)
+                    beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
                     p = z + beta * p
                     rz = rz_new
                 return x

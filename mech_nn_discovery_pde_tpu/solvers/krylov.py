@@ -239,12 +239,17 @@ def cg(
     def body(c):
         x, r, z, p, rz, it = c
         Ap = matvec(p)
-        alpha = _safe_div(rz, jnp.vdot(p, Ap))
+        # curvature guard: on near-singular SPD systems p^T A p can round
+        # <= 0 for near-null p (observed on TPU emulated-f64 dots); freeze
+        # the update instead of dividing by ~0 (see solvers/cholesky.py)
+        pAp = jnp.vdot(p, Ap)
+        tiny = jnp.finfo(b.dtype).tiny
+        alpha = jnp.where(pAp > tiny, rz / jnp.maximum(pAp, tiny), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz_new = jnp.vdot(r, z)
-        beta = _safe_div(rz_new, rz)
+        beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
         p = z + beta * p
         return x, r, z, p, rz_new, it + 1
 

@@ -41,7 +41,7 @@ def test_mg_layer_matches_dense():
     bs, dims = 2, (16, 16)
     cfg = PDEConfig(precision="f64")
     big = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=80,
-                    mg_fgmres_restarts_forward=10, mg_fgmres_tol=1e-9)
+                    mg_fgmres_restarts_forward=6, mg_fgmres_tol=1e-9)
     dense = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
                           init_index_mi_list=IVS_2D, solver_dbl=True, config=cfg)
     mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
@@ -88,13 +88,13 @@ def test_vcycle_accelerates_fgmres():
     tol = 1e-4 * float(jnp.linalg.norm(b0))
 
     plain = krylov.fgmres(lambda v: sys0.normal_matvec(v0, v), b0,
-                          restart=10, maxiter=400, atol=tol, tol=0.0)
+                          restart=10, maxiter=150, atol=tol, tol=0.0)
     prec = krylov.fgmres(lambda v: sys0.normal_matvec(v0, v), b0,
                          precond=lambda r: mgs.precondition(hier0, r),
-                         restart=10, maxiter=400, atol=tol, tol=0.0)
+                         restart=10, maxiter=150, atol=tol, tol=0.0)
     assert float(prec.rnorm) <= tol * 1.01
     assert int(prec.iters) <= 40, f"MG-FGMRES took {int(prec.iters)} iters"
-    assert int(prec.iters) * 3 <= int(plain.iters) or int(plain.iters) >= 400
+    assert int(prec.iters) * 3 <= int(plain.iters) or int(plain.iters) >= 150
 
 
 def test_mg_layer_gradients_descent():
@@ -127,7 +127,7 @@ def test_mg_layer_gradients_descent():
     # relative, so a single tiny step can sit inside the noise floor)
     gn = max(float(jnp.linalg.norm(g[0])), 1.0)
     best = float("inf")
-    for lr in (1e-5, 1e-4, 1e-3, 1e-2):
+    for lr in (1e-4, 1e-3, 1e-2):
         s = lr / gn
         l1 = float(loss(args[0] - s * g[0], args[1] - s * g[1],
                         args[2] - s * g[2], args[3]))
@@ -140,10 +140,10 @@ def test_mg_layer_gradients_match_fd_well_conditioned():
     finite differences."""
     bs, dims = 1, (12,)
     ivs = [lambda nt: (0, 0, [0], [0])]
-    cfg = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=120,
-                    mg_fgmres_restarts_forward=12,
-                    mg_fgmres_max_iter_backward=120,
-                    mg_fgmres_restarts_backward=12, mg_fgmres_tol=1e-12)
+    cfg = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=60,
+                    mg_fgmres_restarts_forward=6,
+                    mg_fgmres_max_iter_backward=60,
+                    mg_fgmres_restarts_backward=6, mg_fgmres_tol=1e-12)
     mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
                         init_index_mi_list=ivs, solver_dbl=True, n_grid=2,
                         config=cfg)
@@ -165,7 +165,7 @@ def test_mg_layer_gradients_match_fd_well_conditioned():
     eps = 1e-6
     for ai in range(3):
         a = np.asarray(args[ai])
-        for _ in range(3):
+        for _ in range(2):
             idx = tuple(rng.integers(0, s) for s in a.shape)
             ap, am = a.copy(), a.copy()
             ap[idx] += eps
@@ -182,7 +182,7 @@ def test_mg_layer_gradients_match_fd_well_conditioned():
 
 def test_mg_3d_small():
     """3D (GL-shaped) hierarchy with downsample_first=False."""
-    dims = (6, 16, 16)
+    dims = (6, 12, 12)
     ivs = [
         lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
         lambda nt, nx, ny: (1, 0, [1, 0, 0], [nt - 1, 0, ny - 1]),
