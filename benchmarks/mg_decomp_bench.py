@@ -61,7 +61,7 @@ def main():
             def body(i, x):
                 return srmv(sv, smv(sv, x)) * 0.5 + x32[0] * 0.0 + x
             return jax.lax.fori_loop(0, 20, body, x)
-        return jax.vmap(one)(h["levels"][0]["sv"], x32 + 1e-9 * k)
+        return jax.vmap(one)(h["levels"][0]["sv"], x32 + 1e-3 * k)
 
     f = jax.jit(mv20)
     print("20x f32 normal mv %.3f s" % timeit(f, hier), flush=True)
@@ -71,7 +71,7 @@ def main():
             def body(i, x):
                 return mgs._block_apply(sys0, bc, x) * 0.5 + x
             return jax.lax.fori_loop(0, 20, body, x)
-        return jax.vmap(one)(h["levels"][0]["binv"], x32 + 1e-9 * k)
+        return jax.vmap(one)(h["levels"][0]["binv"], x32 + 1e-3 * k)
 
     f = jax.jit(blk20)
     print("20x block apply   %.3f s" % timeit(f, hier), flush=True)
@@ -82,7 +82,7 @@ def main():
             return mgs._smooth(0, hs, x * 0.0, x, 10, False)
         return jax.vmap(lambda hs, x: mgs._smooth(0, hs, x * 0.0, x, 10, False),
                         in_axes=(0, 0))(
-            jax.tree.map(lambda a: a, h["levels"][0]), x32 + 1e-9 * k)
+            jax.tree.map(lambda a: a, h["levels"][0]), x32 + 1e-3 * k)
 
     f = jax.jit(smooth10)
     print("10-step smoother  %.3f s" % timeit(f, hier), flush=True)
@@ -96,7 +96,7 @@ def main():
     print("1x V-cycle        %.3f s" % timeit(f, hier), flush=True)
 
     def coarse(k, h):
-        rH = jnp.ones((bs, mgs.systems[-1].num_vars), jnp.float32) + 1e-9 * k
+        rH = jnp.ones((bs, mgs.systems[-1].num_vars), jnp.float32) + 1e-3 * k
         return jnp.einsum("bij,bj->bi", h["coarse_inv"], rH)
 
     f = jax.jit(coarse)
@@ -134,7 +134,7 @@ def main():
             def body(i, x):
                 return sapply(ci, x) * 0.5 + x
             return jax.lax.fori_loop(0, 20, body, x)
-        return jax.vmap(one)(c, x32 + 1e-9 * k)
+        return jax.vmap(one)(c, x32 + 1e-3 * k)
 
     f = jax.jit(stencil_mv20)
     print("20x f32 stencil mv %.3f s" % timeit(f, coef32), flush=True)

@@ -34,7 +34,7 @@ def main():
         B = jnp.asarray(np.einsum("nij,nkj->nik", A, A) + 0.1 * np.eye(bw, dtype=np.float32))
 
         def xla_inv(k, B):
-            Bk = B + 1e-9 * k
+            Bk = B + 1e-3 * k
             L = jnp.linalg.cholesky(Bk)
             eye = jnp.broadcast_to(jnp.eye(bw, dtype=B.dtype), Bk.shape)
             return jax.scipy.linalg.cho_solve((L, True), eye)
@@ -43,7 +43,7 @@ def main():
         t_xla = timeit(f, B)
 
         def pallas_inv(k, B):
-            Bk = B + 1e-9 * k
+            Bk = B + 1e-3 * k
             L = pk.block_cholesky(Bk)
             eye = jnp.broadcast_to(jnp.eye(bw, dtype=B.dtype), Bk.shape)
             return pk.block_cho_solve(L, eye)

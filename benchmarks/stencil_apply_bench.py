@@ -50,12 +50,30 @@ def main():
     coef = build(values)
     print("coef", coef.shape, coef.dtype, f"{coef.size * 4 / 1e6:.0f} MB", flush=True)
 
+    # bandwidth yardstick: one full read of coef (114 MB).  Any measurement
+    # implying >800 GB/s is a tunnel/measurement artifact, not compute.
+    f = jax.jit(lambda k, c: jnp.sum(c * (1.0 + 0.001 * k)))
+    t = timeit(f, coef)
+    print(f"sum(coef) read yardstick {t*1e3:7.3f} ms "
+          f"({coef.size * 4 / t / 1e9:.0f} GB/s)", flush=True)
+
+    # 20 reads chained: defeats any per-call pipelining
+    def sum20(k, c):
+        def body(i, acc):
+            return acc + jnp.sum(c * (1.0 + 0.001 * (acc + k)))
+        return jax.lax.fori_loop(0, 20, body, 0.0 * k)
+
+    f = jax.jit(sum20)
+    t = timeit(f, coef)
+    print(f"20x sum(coef) chain     {t*1e3:7.2f} ms "
+          f"({20 * coef.size * 4 / t / 1e9:.0f} GB/s)", flush=True)
+
     def xla20(k, c, x):
         def one(ci, xi):
             def body(i, xi):
                 return normal_stencil_matvec(desc, ci, xi) * 0.5 + xi
             return jax.lax.fori_loop(0, 20, body, xi)
-        return jax.vmap(one)(c, x + 1e-9 * k)
+        return jax.vmap(one)(c, x + 1e-3 * k)
 
     f = jax.jit(xla20)
     t = timeit(f, coef, x)
@@ -66,7 +84,7 @@ def main():
             def body(i, xi):
                 return normal_stencil_matvec_pallas(desc, ci, xi) * 0.5 + xi
             return jax.lax.fori_loop(0, 20, body, xi)
-        return jax.vmap(one)(c, x + 1e-9 * k)
+        return jax.vmap(one)(c, x + 1e-3 * k)
 
     try:
         f = jax.jit(pal20)

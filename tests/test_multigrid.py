@@ -48,8 +48,8 @@ def test_mg_layer_matches_dense():
                         init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
                         config=big)
     args = transport_args(bs, dims, dense)
-    u_dense = np.asarray(dense(*args)[0])
-    u_mg = np.asarray(mg(*args)[0])
+    u_dense = np.asarray(jax.jit(lambda *a: dense(*a)[0])(*args))
+    u_mg = np.asarray(jax.jit(lambda *a: mg(*a)[0])(*args))
     err = np.abs(u_dense - u_mg).max() / max(np.abs(u_dense).max(), 1e-12)
     # solution error is conditioning-amplified relative to the residual
     # (near-null smooth modes); the reference's own 40-iteration GS-V-cycle
@@ -118,7 +118,8 @@ def test_mg_layer_gradients_descent():
         u0, u, _ = mg(coeffs, rhs, iv, steps)
         return jnp.sum(u0**2) + jnp.sum(u[..., 1] ** 2)
 
-    l0, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(*args)
+    jloss = jax.jit(loss)
+    l0, g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(*args)
     for gi in g:
         assert bool(jnp.isfinite(gi).all())
     assert float(jnp.abs(g[0]).max()) > 0
@@ -129,8 +130,8 @@ def test_mg_layer_gradients_descent():
     best = float("inf")
     for lr in (1e-4, 1e-3, 1e-2):
         s = lr / gn
-        l1 = float(loss(args[0] - s * g[0], args[1] - s * g[1],
-                        args[2] - s * g[2], args[3]))
+        l1 = float(jloss(args[0] - s * g[0], args[1] - s * g[1],
+                         args[2] - s * g[2], args[3]))
         best = min(best, l1)
     assert best < float(l0) * (1.0 + 5e-3), (best, float(l0))
 
@@ -161,7 +162,8 @@ def test_mg_layer_gradients_match_fd_well_conditioned():
         return jnp.sum(jnp.asarray(w) * u0)
 
     args = (jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv))
-    g = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    jloss = jax.jit(loss)
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(*args)
     eps = 1e-6
     for ai in range(3):
         a = np.asarray(args[ai])
@@ -172,9 +174,9 @@ def test_mg_layer_gradients_match_fd_well_conditioned():
             am[idx] -= eps
             largs = list(args)
             largs[ai] = jnp.asarray(ap)
-            lp = float(loss(*largs))
+            lp = float(jloss(*largs))
             largs[ai] = jnp.asarray(am)
-            lm = float(loss(*largs))
+            lm = float(jloss(*largs))
             fd = (lp - lm) / (2 * eps)
             ad = float(np.asarray(g[ai])[idx])
             assert np.isclose(ad, fd, rtol=1e-3, atol=1e-7), (ai, idx, ad, fd)
@@ -204,7 +206,7 @@ def test_mg_3d_small():
     n_iv_rows = mg.system.n_init_rows
     iv = 0.1 * rng.standard_normal((bs, n_iv_rows))
     steps = [np.full((bs, d - 1), 0.05) for d in dims]
-    u0, u, _ = mg(jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv),
-                  [jnp.asarray(s) for s in steps])
+    u0, u, _ = jax.jit(mg)(jnp.asarray(coeffs), jnp.asarray(rhs),
+                           jnp.asarray(iv), [jnp.asarray(s) for s in steps])
     assert bool(jnp.isfinite(u0).all())
     assert u.shape == (bs, 1, gs, 7)
