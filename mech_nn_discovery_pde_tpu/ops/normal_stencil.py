@@ -262,30 +262,55 @@ def _band_channels(b: Band) -> Tuple[int, int]:
     return b.mi_k, 0  # 'dv'
 
 
+def _band_groups(desc: NormalStencilDesc):
+    """Bands grouped by (coord, delta) — consecutive channels by
+    construction, one contiguous coefficient slab per group."""
+    from itertools import groupby
+
+    out = []
+    for _, grp in groupby(desc.bands, key=lambda b: (b.coord, b.delta)):
+        out.append(tuple(grp))
+    return tuple(out)
+
+
 def normal_stencil_matvec(
     desc: NormalStencilDesc, coef: jnp.ndarray, x: jnp.ndarray
 ) -> jnp.ndarray:
     """(AtA) @ x from the assembled stencil: (NC, grid), (num_vars,) ->
-    (num_vars,).  Pure flat shifted multiply-adds, channel-major; everything
-    fuses (no gathers, no concatenates, no row space)."""
+    (num_vars,).  Channel-major flat shifted multiply-adds; the offset-0
+    block is one batched einsum and each (axis, delta) band group applies
+    as a single contiguous slab product (the apply is per-op-overhead
+    bound on TPU, so fewer/bigger ops win over many small fused chains)."""
     N, m = desc.grid_size, desc.n_mi
     X = x.reshape(N, m).T  # (m, N) channel-major
 
-    # dense offset-0 block: y_i = sum_j D[i, j] * x_j
-    ys = []
-    for i in range(m):
-        acc = coef[i * m] * X[0]
-        for j in range(1, m):
-            acc = acc + coef[i * m + j] * X[j]
-        ys.append(acc)
+    D = coef[: m * m].reshape(m, m, N)
+    Y = jnp.einsum("ijn,jn->in", D, X, precision=jax.lax.Precision.HIGHEST)
+    ys = [Y[i] for i in range(m)]
 
-    for b in desc.bands:
-        g = coef[b.ch]
-        s = b.stride
-        ci, cj = _band_channels(b)
-        # y_i[p] += g[p] * x_j[p + s];  y_j[p + s] += g[p] * x_i[p]
-        ys[ci] = ys[ci] + jnp.pad(g[: N - s] * X[cj][s:], (0, s))
-        ys[cj] = ys[cj] + jnp.pad((g * X[ci])[: N - s], (s, 0))
+    for grp in _band_groups(desc):
+        s = grp[0].stride
+        ch0 = grp[0].ch
+        k = len(grp)
+        G = coef[ch0 : ch0 + k, : N - s]  # one contiguous slab
+        cis = [_band_channels(b)[0] for b in grp]
+        cjs = [_band_channels(b)[1] for b in grp]
+        # forward: y_ci[p] += g[p] * x_cj[p + s]
+        Pf = G * jnp.stack([X[cj, s:] for cj in cjs])
+        # backward: y_cj[p + s] += g[p] * x_ci[p]
+        Pb = G * jnp.stack([X[ci, : N - s] for ci in cis])
+        for ch in sorted(set(cis)):
+            rows = [r for r, c in enumerate(cis) if c == ch]
+            acc = Pf[rows[0]]
+            for r in rows[1:]:
+                acc = acc + Pf[r]
+            ys[ch] = ys[ch] + jnp.pad(acc, (0, s))
+        for ch in sorted(set(cjs)):
+            rows = [r for r, c in enumerate(cjs) if c == ch]
+            acc = Pb[rows[0]]
+            for r in rows[1:]:
+                acc = acc + Pb[r]
+            ys[ch] = ys[ch] + jnp.pad(acc, (s, 0))
 
     return jnp.stack(ys, axis=1).reshape(-1)
 
