@@ -191,3 +191,46 @@ def test_train_resume_end_to_end(tmp_path, monkeypatch):
         for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params2))
     ]
     assert max(diffs) > 0.0
+
+
+def test_burgers_noise_and_frame_drop_robustness(tmp_path, monkeypatch):
+    """Training steps remain finite and the loss decreases with the
+    reference's robustness fault injections active: Gaussian measurement
+    noise + whole-frame dropout with loss masking (reference
+    burgers...:63-64,96-100,139-141,364-375)."""
+    monkeypatch.chdir(tmp_path)
+    import optax
+
+    from mech_nn_discovery_pde_tpu.data.datasets import BurgersDataset
+    from mech_nn_discovery_pde_tpu.discovery.burgers import (
+        BurgersConfig,
+        BurgersDiscovery,
+    )
+    from mech_nn_discovery_pde_tpu.discovery.common import make_update
+
+    cfg = BurgersConfig(
+        solver_dim=(8, 16), batch_size=2, nn_transform=False,
+        noise_percent=5.0, frame_drop_prob=0.2,
+        pde=PDEConfig(precision="f64"),
+    )
+    ds = BurgersDataset(
+        solver_dim=cfg.solver_dim, data_root=str(tmp_path / "data"),
+        noise_percent=cfg.noise_percent, frame_drop_prob=cfg.frame_drop_prob,
+    )
+    model = BurgersDiscovery(cfg, ds)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    update = make_update(model.loss_fn, opt)
+    opt_state = opt.init(params)
+    patch = np.stack([ds[i][0] for i in range(2)])
+    t_idx = np.array([ds[i][1] for i in range(2)])
+    x_idx = np.array([ds[i][2] for i in range(2)])
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss, aux = update(
+            params, opt_state, jnp.asarray(patch), jnp.asarray(t_idx),
+            jnp.asarray(x_idx),
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
