@@ -270,3 +270,51 @@ def test_check_finite_raises():
 
     with _pytest.raises(FloatingPointError):
         fn("forward", bad)
+
+
+def test_evolution_2d_gradients_match_fd():
+    """Regression test for the evolution-mode routing fix: 2D+ evolution
+    systems must use the COO operator paths (the structured/stencil fast
+    paths assume same-point equation rows and silently computed a wrong
+    adjoint residual lam before the fix).  IFT gradients through a 2D
+    evolution solve now match finite differences."""
+    from mech_nn_discovery_pde_tpu.config import PDEConfig
+    from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
+
+    bs, dims = 1, (6, 8)
+    ivs = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+    layer = PDEDenseLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                          init_index_mi_list=ivs, solver_dbl=True,
+                          evolution=True, config=PDEConfig(precision="f64"))
+    rng = np.random.default_rng(0)
+    gs = layer.grid_size
+    coeffs = rng.standard_normal((bs, gs, layer.n_orders)) * 0.2
+    coeffs[..., 1] += 1.0
+    rhs = 0.1 * rng.standard_normal((bs, gs))
+    iv = 0.3 * rng.standard_normal((bs, dims[1]))
+    steps = [jnp.full((bs, d - 1), 0.1) for d in dims]
+    w = rng.standard_normal((bs, gs))
+
+    def loss(c, r, i):
+        u0, _, _ = layer(c, r, i, steps)
+        return jnp.sum(jnp.asarray(w) * u0.reshape(bs, gs))
+
+    args = (jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv))
+    jloss = jax.jit(loss)
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(*args)
+    eps = 1e-6
+    for ai in range(3):
+        a = np.asarray(args[ai])
+        for _ in range(2):
+            idx = tuple(rng.integers(0, s) for s in a.shape)
+            ap, am = a.copy(), a.copy()
+            ap[idx] += eps
+            am[idx] -= eps
+            largs = list(args)
+            largs[ai] = jnp.asarray(ap)
+            lp = float(jloss(*largs))
+            largs[ai] = jnp.asarray(am)
+            lm = float(jloss(*largs))
+            fd = (lp - lm) / (2 * eps)
+            ad = float(np.asarray(g[ai])[idx])
+            assert np.isclose(ad, fd, rtol=5e-4, atol=1e-6), (ai, idx, ad, fd)
