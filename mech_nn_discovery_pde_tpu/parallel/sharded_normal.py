@@ -29,13 +29,13 @@ shard boundary — O(surface), while compute is O(volume).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
     NormalStencilDesc,
