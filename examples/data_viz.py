@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # noqa: E402
 """Dataset visualization (port of reference examples/pde_data.ipynb):
 renders the generated Burgers / Ginzburg-Landau / Kamani / sine datasets.
 

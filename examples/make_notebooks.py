@@ -81,6 +81,9 @@ def notebook(cells):
 
 def script_to_cells(path):
     text = open(path).read()
+    # strip the script-only sys.path bootstrap (__file__ is undefined in
+    # notebooks; notebook users run from the repo root)
+    text = re.sub(r"^import os, sys; sys\.path\.insert[^\n]*\n", "", text)
     # strip module docstring (reproduced by the markdown header)
     text = re.sub(r'^""".*?"""\s*', "", text, count=1, flags=re.S)
     # split at top-level defs so each function is its own cell

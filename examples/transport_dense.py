@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # noqa: E402
 """Transport equation solved with the dense PDE layer, marching in time.
 
 Port of reference examples/1. dense_solver_transport.ipynb: solve

@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # noqa: E402
 """Transport on a large (8, 512) grid via the multigrid-FGMRES path.
 
 Port of reference examples/2. sparse_multigrid_solver_transport.ipynb:
