@@ -389,6 +389,31 @@ def _pallas_apply_batched(
     return y.reshape(bs, mp, Np)[:, :m, :N]
 
 
+def _pallas_single(
+    desc: NormalStencilDesc, coef: jnp.ndarray, X: jnp.ndarray, interpret: bool
+) -> jnp.ndarray:
+    """Single whole-array-in-VMEM pallas_call of the stencil apply:
+    coef (NC, N), X (m, N) -> (m, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, N = desc.n_mi, desc.grid_size
+
+    def kernel(coef_ref, x_ref, y_ref):
+        _stencil_kernel_body(desc, coef_ref, x_ref, y_ref)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, N), X.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coef, X)
+
+
 def normal_stencil_matvec_pallas(
     desc: NormalStencilDesc,
     coef: jnp.ndarray,
@@ -405,29 +430,21 @@ def normal_stencil_matvec_pallas(
     fine level (8, 32, 32), comfortably under the ~16 MB/core budget.  For
     larger grids fall back to the XLA apply.
 
-    vmap-safe: batching dispatches to an explicit grid-batched pallas_call
-    (vmap-of-pallas_call does not compile through the axon tunnel)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    vmap-safe: batching runs lax.map over single-sample kernels — Mosaic
+    (through the axon remote compiler) rejects vmap-of-pallas_call and
+    grid-batched forms of this body.  A K-fold variant that concatenated K
+    non-interacting samples along the flat grid axis (exact, by the same
+    zero-padding argument that makes the apply wraparound-safe) was tried
+    and measured SLOWER (5.08 ms/apply at K=2 vs 2.79 single-sample on the
+    GL batch); the stride-grouped XLA apply measured 1.22 ms/apply in the
+    same session and is the production default."""
     from jax import custom_batching
 
     m, N = desc.n_mi, desc.grid_size
 
     @custom_batching.custom_vmap
     def _apply(coef, X):
-        def kernel(coef_ref, x_ref, y_ref):
-            _stencil_kernel_body(desc, coef_ref, x_ref, y_ref)
-
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((m, N), X.dtype),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(coef, X)
+        return _pallas_single(desc, coef, X, interpret)
 
     @_apply.def_vmap
     def _apply_vmap(axis_size, in_batched, coef, X):
@@ -436,11 +453,6 @@ def normal_stencil_matvec_pallas(
             coef = jnp.broadcast_to(coef, (axis_size,) + coef.shape)
         if not x_b:
             X = jnp.broadcast_to(X, (axis_size,) + X.shape)
-        # lax.map of the (known-compiling) single-sample kernel: Mosaic
-        # rejects both vmap-of-pallas_call and the grid-batched form of this
-        # body through the axon remote compiler; sequential per-sample
-        # kernels are VMEM-resident and back-to-back, so the batch just
-        # becomes the outer loop.
         return jax.lax.map(lambda cx: _apply(cx[0], cx[1]), (coef, X)), True
 
     X = x.reshape(N, m).T
