@@ -71,13 +71,99 @@ def _bench_gl(jax, jnp, np):
     step = jax.jit(fwd_bwd)
     out = step(c0, r0, i0)
     jax.block_until_ready(out)
-    n = 3
-    t0 = time.perf_counter()
-    for k in range(n):
-        out = step(c0 + 1e-12 * k, r0, i0)  # vary inputs: defeat result cache
+    # >=5 separately-timed dispatches with representable input perturbations
+    # (f64 inputs: 1e-6 changes bits, defeats per-input result caching, and
+    # is far below any convergence-relevant scale); median + spread reported
+    # because the tunnel worker's throughput drifts up to ~65% in-session
+    ts = []
+    for k in range(5):
+        t0 = time.perf_counter()
+        out = step(c0 + 1e-6 * (k + 1), r0, i0)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts = sorted(ts)
+    dt = ts[len(ts) // 2]
+    spread = (ts[-1] - ts[0]) / dt
+    roofline = _gl_roofline(jax, jnp, np, layer, c0, r0, i0, steps, dt)
+    return bs / dt, dt, spread, roofline
+
+
+# v5e HBM bandwidth (public spec: ~819 GB/s per chip)
+HBM_BYTES_PER_SEC = 819e9
+
+
+def _gl_roofline(jax, jnp, np, layer, c0, r0, i0, steps, step_seconds):
+    """Self-grounding roofline for the headline claim (VERDICT r2 weak #2):
+
+    (a) measure the achieved bandwidth of the batched fine-level stencil
+        apply (the V-cycle's inner loop) via a 100-apply chain in ONE jit —
+        the only microbenchmark shape the tunnel reports faithfully;
+    (b) count the step's minimum HBM traffic from the iteration structure
+        (applies are counted; coef fields re-read every apply) and report
+        measured-step-time / bandwidth-bound-time.
+    """
+    import time as _time
+
+    mg = layer.mg_solver
+    cfg = layer.config
+    sys0 = mg.systems[0]
+    desc, build, apply_ = mg._nstencil[0]
+    from mech_nn_discovery_pde_tpu.ops.structured import split_values
+
+    bs = c0.shape[0]
+    values = sys0.fill_values(
+        c0.reshape(bs, layer.grid_size, layer.n_orders).astype(jnp.float32),
+        [s.astype(jnp.float32) for s in steps],
+        dtype=jnp.float32,
+    )
+    coef = jax.vmap(lambda v: build(split_values(sys0.spec, v)))(values)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.standard_normal((bs, sys0.num_vars)), jnp.float32
+    )
+
+    n_chain = 100
+
+    @jax.jit
+    def chain(coef, x):
+        def body(_, y):
+            y = jax.vmap(apply_)(coef, y)
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
+
+        return jax.lax.fori_loop(0, n_chain, body, x)
+
+    out = chain(coef, x)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    return bs / dt, dt
+    t0 = _time.perf_counter()
+    out = chain(coef, x + 1e-3)
+    jax.block_until_ready(out)
+    apply_dt = (_time.perf_counter() - t0) / n_chain
+
+    NC, N, m = desc.n_channels, desc.grid_size, desc.n_mi
+    apply_bytes = bs * 4 * (NC * N + 2 * m * N)  # read coef+x, write y
+    apply_gbs = apply_bytes / apply_dt / 1e9
+    apply_bw_fraction = apply_bytes / apply_dt / HBM_BYTES_PER_SEC
+
+    # minimum-traffic model of the whole fwd+bwd step: count stencil applies
+    # (the dominant traffic).  Per FGMRES iteration: 1 fine apply + 1 V-cycle
+    # = (pre+post+2) applies + (pre+post+2) block-preconditioner applies per
+    # level; coarser levels carry ~1/4 the points each (dims[1:]//2).
+    S = cfg.mg_smoother_steps_pre + cfg.mg_smoother_steps_post + 2
+    iters = cfg.mg_fgmres_max_iter_forward + cfg.mg_fgmres_max_iter_backward
+    level_factor = sum(0.25**k for k in range(mg.n_grid))
+    step_min_bytes = iters * (
+        apply_bytes  # fine solve-dtype apply
+        + S * apply_bytes * level_factor  # smoother applies across levels
+        + S * bs * 4 * 3 * m * N * level_factor  # B^-1 r block applies (r,z + binv rows)
+    )
+    bound_seconds = step_min_bytes / HBM_BYTES_PER_SEC
+    return {
+        "stencil_apply_ms": round(apply_dt * 1e3, 3),
+        "stencil_apply_gb_per_s": round(apply_gbs, 1),
+        "stencil_apply_bw_fraction": round(apply_bw_fraction, 4),
+        "step_bw_bound_seconds": round(bound_seconds, 3),
+        "step_bw_fraction": round(bound_seconds / step_seconds, 4),
+    }
 
 
 def _bench_dense(jax, jnp, np):
@@ -142,7 +228,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    gl_solves_per_sec, gl_step = _bench_gl(jax, jnp, np)
+    gl_solves_per_sec, gl_step, gl_spread, roofline = _bench_gl(jax, jnp, np)
     dense_solves_per_sec = _bench_dense(jax, jnp, np)
 
     gl_baseline = 4.0  # midpoint A100 CuPy model (range [1.9, 64]), see docstring
@@ -156,6 +242,9 @@ def main():
                 "vs_baseline": round(gl_solves_per_sec / gl_baseline, 3),
                 "extras": {
                     "gl_step_seconds": round(gl_step, 3),
+                    "gl_step_median_of": 5,
+                    "gl_step_spread": round(gl_spread, 3),
+                    "roofline": roofline,
                     "burgers_dense_kkt_fwd_bwd_solves_per_sec": round(
                         dense_solves_per_sec, 2
                     ),

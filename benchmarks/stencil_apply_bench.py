@@ -68,16 +68,29 @@ def main():
     print(f"20x sum(coef) chain     {t*1e3:7.2f} ms "
           f"({20 * coef.size * 4 / t / 1e9:.0f} GB/s)", flush=True)
 
-    def xla20(k, c, x):
-        def one(ci, xi):
-            def body(i, xi):
-                return normal_stencil_matvec(desc, ci, xi) * 0.5 + xi
-            return jax.lax.fori_loop(0, 20, body, xi)
-        return jax.vmap(one)(c, x + 1e-3 * k)
+    from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
+        normal_stencil_matvec_padded,
+    )
 
-    f = jax.jit(xla20)
+    def chain20(apply_fn):
+        def run(k, c, x):
+            def one(ci, xi):
+                def body(i, xi):
+                    return apply_fn(desc, ci, xi) * 0.5 + xi
+                return jax.lax.fori_loop(0, 20, body, xi)
+            return jax.vmap(one)(c, x + 1e-3 * k)
+        return run
+
+    f = jax.jit(chain20(normal_stencil_matvec))
     t = timeit(f, coef, x)
-    print(f"20x XLA stencil apply  {t*1e3:9.2f} ms  ({t/20*1e3:7.3f} ms/apply)", flush=True)
+    print(f"20x XLA rolled apply   {t*1e3:9.2f} ms  ({t/20*1e3:7.3f} ms/apply)", flush=True)
+
+    fp = jax.jit(chain20(normal_stencil_matvec_padded))
+    tp = timeit(fp, coef, x)
+    print(f"20x XLA padded apply   {tp*1e3:9.2f} ms  ({tp/20*1e3:7.3f} ms/apply)", flush=True)
+    yr = jax.jit(jax.vmap(lambda c, xi: normal_stencil_matvec(desc, c, xi)))(coef, x)
+    yp = jax.jit(jax.vmap(lambda c, xi: normal_stencil_matvec_padded(desc, c, xi)))(coef, x)
+    print(f"rolled vs padded rel err {float(jnp.abs(yr-yp).max()/jnp.abs(yp).max()):.2e}", flush=True)
 
     def pal20(k, c, x):
         def one(ci, xi):

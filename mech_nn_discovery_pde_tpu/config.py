@@ -58,6 +58,12 @@ class PDEConfig:
     mg_smoother: str = "chebyshev"
     # Chebyshev smoothing interval is [lmax/ratio, lmax]
     mg_chebyshev_ratio: float = 16.0
+    # safety factor applied to the power-iteration lmax estimate.  This is
+    # LOAD-BEARING: Chebyshev amplifies modes above the assumed lmax
+    # explosively — a 22%-low estimate collapsed the GL preconditioner by
+    # 375x (CLAUDE.md).  Exposed as a knob so the quality-guard CI test can
+    # prove it detects that regression class; do not lower in production.
+    mg_lmax_margin: float = 1.3
     # smoother block structure: 'line' (time-line blocks; strong, the
     # TPU-parallel analogue of directional Gauss-Seidel) or 'point'
     mg_block_smoother: str = "line"
@@ -91,6 +97,11 @@ class PDEConfig:
     log_solves: bool = False
     # raise on non-finite solutions (host-side, from inside jit)
     check_finite: bool = False
+    # return forward-solve stats IN-BAND as the layers' third output
+    # (u0, u, stats) — jit outputs, no host callback, no re-solve; the
+    # axon-compatible per-step observability path (the reference returns
+    # eps=None there, so the tuple contract is unchanged)
+    return_solve_stats: bool = False
 
     @property
     def ginzburg_dir(self) -> str:

@@ -54,11 +54,16 @@ class GLConfig:
     noise_percent: float = 0.0
     seed: int = 10
     data_root: str = "data"
+    # run the backward-solve convergence probe every N epochs (0 = off);
+    # compiles a second (smaller) TPU graph on first use
+    backward_probe_every: int = 0
     # validated TPU configuration: f32 factorizations + f64-residual
-    # refinement, f32 outer FGMRES, per-solve diagnostics logged
+    # refinement, f32 outer FGMRES, per-solve forward diagnostics returned
+    # in-band (axon has no host callbacks)
     pde: PDEConfig = field(
         default_factory=lambda: PDEConfig(
-            precision="f32_ir", mg_solve_dtype="f32", log_solves=True
+            precision="f32_ir", mg_solve_dtype="f32", log_solves=True,
+            return_solve_stats=True,
         )
     )
 
@@ -132,7 +137,9 @@ class GLDiscovery:
         u5 = u[:, 1:d0, 1 : d1 - 1, d2 - 1].reshape(bs, -1)
         return jnp.concatenate([u1, u2, u3, u4, u5], axis=-1)
 
-    def forward(self, params, u, v):
+    def _assemble(self, params, u, v):
+        """(coeffs, rhs, iv_rhs, up, pl) for one batch — shared by the
+        training forward and the backward-convergence probe."""
         cfg = self.cfg
         bs = cfg.batch_size
         dims = cfg.solver_dim
@@ -166,16 +173,35 @@ class GLDiscovery:
         coeffs = coeffs.at[..., 5].set(p1)
         coeffs = coeffs.at[..., 6].set(p2)
         rhs = p3
+        return coeffs, rhs, iv_rhs, up, pl
 
-        u0, _, _ = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
-        return u0.reshape(bs, -1), up.reshape(bs, -1), pl
+    def forward(self, params, u, v):
+        bs = self.cfg.batch_size
+        coeffs, rhs, iv_rhs, up, pl = self._assemble(params, u, v)
+        u0, _, stats = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
+        return u0.reshape(bs, -1), up.reshape(bs, -1), pl, stats
+
+    def backward_probe(self, params, u, v):
+        """Backward-solve convergence on a representative cotangent (the
+        normalized data field scattered into the solution-value slots) —
+        periodic observability for the IFT backward on callback-free
+        backends."""
+        bs = self.cfg.batch_size
+        coeffs, rhs, iv_rhs, _, _ = self._assemble(params, u, v)
+        gu = u.reshape(bs, -1)
+        gu = gu / jnp.maximum(jnp.linalg.norm(gu, axis=1, keepdims=True), 1e-30)
+        g = jnp.zeros((bs, self.layer.grid_size, self.layer.n_orders))
+        g = g.at[..., 0].set(gu.reshape(bs, self.layer.grid_size))
+        return self.layer.backward_stats(
+            coeffs, rhs, iv_rhs, list(self.steps), g.reshape(bs, -1)
+        )
 
     def loss_fn(self, params, u, v):
         """Reference loss (ginzburg_landau.py:494-502): |u0 - u| +
         |u' - u| + |v' - v| + 1e-4 L1(params), where u'/v' are the (possibly
         identity) learned transforms of the raw fields."""
         bs = self.cfg.batch_size
-        u0, up, pl = self.forward(params, u, v)
+        u0, up, pl, stats = self.forward(params, u, v)
         target_u = u.reshape(bs, -1)
         target_v = v.reshape(bs, -1)
         u_loss = jnp.abs(u0 - target_u).mean(axis=-1)
@@ -193,7 +219,12 @@ class GLDiscovery:
             u_loss.mean() + var_u_loss.mean() + var_v_loss.mean()
             + 1e-4 * param_loss
         )
-        return loss, {"u_loss": u_loss.mean(), "var_u_loss": var_u_loss.mean()}
+        aux = {"u_loss": u_loss.mean(), "var_u_loss": var_u_loss.mean()}
+        if stats is not None:
+            # per-step forward-solve convergence, in-band (no host callback)
+            aux["fwd_iters"] = stats["iters"].mean()
+            aux["fwd_rel_rnorm"] = stats["rel_rnorm"].max()
+        return loss, aux
 
 
 def train(cfg: Optional[GLConfig] = None, log=None):
@@ -221,8 +252,10 @@ def train(cfg: Optional[GLConfig] = None, log=None):
     harness = TrainHarness(log_dir, params, opt_state, log=log,
                            ckpt_every=cfg.ckpt_every)
     params, opt_state = harness.params, harness.opt_state
+    bprobe = None
     for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
+        aux = {}
         for i, (u, v, t, x, y) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
@@ -233,7 +266,21 @@ def train(cfg: Optional[GLConfig] = None, log=None):
                 losses.append(float(loss))
         pl = [np.asarray(p) for p in model.get_params(params)]
         log.info(print_eq(pl))
-        log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
+        msg = f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}"
+        if "fwd_iters" in aux:
+            msg += (f"  fwd solve iters {float(aux['fwd_iters']):.1f}"
+                    f" rel_rnorm {float(aux['fwd_rel_rnorm']):.2e}")
+        log.info(msg)
+        if cfg.backward_probe_every and (epoch + 1) % cfg.backward_probe_every == 0:
+            if bprobe is None:
+                bprobe = jax.jit(model.backward_probe)
+            with harness.timer.phase("backward_probe"):
+                bs_ = bprobe(params, jnp.asarray(u), jnp.asarray(v))
+            log.info(
+                f"bwd solve iters {float(bs_['iters'].mean()):.1f} "
+                f"rel_rnorm {float(bs_['rel_rnorm'].max()):.2e} "
+                f"finite {bool(np.asarray(bs_['finite']).all())}"
+            )
         harness.end_epoch(epoch, params, opt_state)
     return params, model
 

@@ -47,6 +47,8 @@ class KamaniConfig:
     solver_dim: tuple = (24,)
     batch_size: int = 2048
     lr: float = 5e-6
+    # optional cosine decay lr -> lr_end over the full run (basin study)
+    lr_end: Optional[float] = None
     param_l1: float = 0.01
     epochs: int = 5000
     steps_per_epoch: Optional[int] = None
@@ -55,8 +57,13 @@ class KamaniConfig:
     plot_every: int = 10
     resume_from: Optional[str] = None
     ckpt_every: int = 25
+    # net init/precision controls (reference: f64 nets, torch Linear init)
+    net_dtype: str = "f32"
+    torch_init: bool = False
     pde: PDEConfig = field(
-        default_factory=lambda: PDEConfig(precision="f32_ir", log_solves=True)
+        default_factory=lambda: PDEConfig(
+            precision="f32_ir", log_solves=True, return_solve_stats=True
+        )
     )
 
 
@@ -70,9 +77,12 @@ class KamaniDiscovery:
             bs=cfg.batch_size, coord_dims=cfg.solver_dim, order=2, n_ind_dim=1,
             n_iv=1, init_index_mi_list=self.IV_LIST, solver_dbl=True, config=cfg.pde,
         )
-        self.param_net = ParamNet(n_out=4 * 3, depth=2)
-        self.param_exp_net = ParamNet(n_out=4 * 2, depth=2)
-        self.transform = ResNet1D(out_channels=1, in_channels=1)
+        nd = jnp.float64 if cfg.net_dtype == "f64" else jnp.float32
+        nkw = dict(param_dtype=nd, torch_init=cfg.torch_init)
+        self.param_net = ParamNet(n_out=4 * 3, depth=2, **nkw)
+        self.param_exp_net = ParamNet(n_out=4 * 2, depth=2, **nkw)
+        self.transform = ResNet1D(out_channels=1, in_channels=1, **nkw)
+        self.net_dtype = nd
         self.steps = [fixed_steps(ds.t_step, cfg.batch_size, cfg.solver_dim[0])]
 
     def init(self, key):
@@ -96,7 +106,7 @@ class KamaniDiscovery:
         bs = cfg.batch_size
         # network in f32; solver boundary casts back
         up = self.transform.apply(
-            params["tnet"], u.astype(jnp.float32)[..., None]
+            params["tnet"], u.astype(self.net_dtype)[..., None]
         )[..., 0].astype(u.dtype)
         iv_rhs = up[:, 0:1]
 
@@ -117,18 +127,21 @@ class KamaniDiscovery:
         coeffs = coeffs.at[..., 1].set(p0)  # sigma_t
         rhs = p1 * shear_d + p2 * shear_dd
 
-        u0, _, _ = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
-        return u0.reshape(bs, -1), up, (pr, er)
+        u0, _, stats = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
+        return u0.reshape(bs, -1), up, (pr, er), stats
 
     def loss_fn(self, params, u, shear_d, shear_dd):
         bs = self.cfg.batch_size
-        u0, up, (pr, er) = self.forward(params, u, shear_d, shear_dd)
+        u0, up, (pr, er), stats = self.forward(params, u, shear_d, shear_dd)
         target = u.reshape(bs, -1)
         u_loss = jnp.abs(u0 - target).mean(axis=-1)
         var_loss = jnp.abs(up.reshape(bs, -1) - u0).mean(axis=-1)
         param_loss = jnp.abs(pr).sum()
         loss = u_loss.mean() + var_loss.mean() + self.cfg.param_l1 * param_loss
-        return loss, {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
+        aux = {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
+        if stats is not None:
+            aux["fwd_rel_rnorm"] = stats["rel_rnorm"].max()
+        return loss, aux
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +216,14 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
     ds = KamaniDataset(solver_dim=cfg.solver_dim, data_root=cfg.data_root)
     model = KamaniDiscovery(cfg, ds)
     params = model.init(jax.random.PRNGKey(cfg.seed))
-    optimizer = optax.adam(cfg.lr)
+    if cfg.lr_end is not None:
+        n_steps = (cfg.steps_per_epoch or (len(ds) // cfg.batch_size)) * cfg.epochs
+        lr = optax.cosine_decay_schedule(
+            cfg.lr, n_steps, alpha=cfg.lr_end / cfg.lr
+        )
+    else:
+        lr = cfg.lr
+    optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     update = make_update(model.loss_fn, optimizer)
     loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)
@@ -214,6 +234,7 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
     params, opt_state = harness.params, harness.opt_state
     for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
+        aux = {}
         for i, (t, u, s, sd, sdd) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
@@ -225,7 +246,10 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
         pr, er = (np.asarray(a) for a in model.get_params(params))
         log.info(f"param {pr}\nexps {er}")
         log.info(f"True param {tp}\nTrue exp {te}")
-        log.info(f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}")
+        msg = f"run {run_id} epoch {epoch}, loss {np.mean(losses):.3E}"
+        if "fwd_rel_rnorm" in aux:
+            msg += f"  fwd solve rel_rnorm {float(aux['fwd_rel_rnorm']):.2e}"
+        log.info(msg)
         if cfg.plot_every and (epoch + 1) % cfg.plot_every == 0:
             simulate_overlay(epoch, pr, er, log_dir)
         harness.end_epoch(epoch, params, opt_state)

@@ -115,11 +115,14 @@ class PDEDenseLayer:
                     "not support host callbacks (axon tunnel) — per-solve "
                     "diagnostics disabled; use layer.solve_stats() instead"
                 )
-        self._solve = make_lstsq_solve(self.system, self.inner, stats_fn=stats_fn)
+        self._solve = make_lstsq_solve(
+            self.system, self.inner, stats_fn=stats_fn,
+            return_stats=self.config.return_solve_stats,
+        )
 
     # ------------------------------------------------------------------
 
-    def __call__(self, coeffs, rhs, iv_rhs, steps_list):
+    def _prepare(self, coeffs, rhs, iv_rhs, steps_list):
         b = self.bs * self.n_ind_dim
         coeffs = coeffs.reshape(b, self.grid_size, self.n_orders).astype(self.dtype)
         rhs = rhs.reshape(b, self.grid_size).astype(self.dtype)
@@ -129,17 +132,45 @@ class PDEDenseLayer:
             steps_list[i].reshape(b, self.coord_dims[i] - 1).astype(self.dtype)
             for i in range(self.n_coord)
         ]
-
         values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
         rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
+        return values, rhs_vec
 
-        x = self._solve(values, rhs_vec, None)
+    def __call__(self, coeffs, rhs, iv_rhs, steps_list):
+        values, rhs_vec = self._prepare(coeffs, rhs, iv_rhs, steps_list)
+
+        if self.config.return_solve_stats:
+            x, stats = self._solve(values, rhs_vec, None)
+        else:
+            x, stats = self._solve(values, rhs_vec, None), None
 
         u = self.system.solution_reshaped(x)
         u = u.reshape(self.bs, self.n_ind_dim, self.grid_size, self.n_orders)
         u0 = u[..., 0]
-        eps = None
-        return u0, u, eps
+        # third slot is eps=None in the reference contract; with
+        # return_solve_stats it carries the in-band forward-solve stats
+        return u0, u, stats
+
+    def backward_stats(self, coeffs, rhs, iv_rhs, steps_list, g):
+        """Periodic backward-solve diagnostic for callback-free backends
+        (axon): solve AtA dz = g with the backward budgets and report the
+        residual quality, mirroring the reference's per-backward logging
+        (qp_dual_dense_normal_kkt.py:105-107).  `g` is an output cotangent
+        of shape (bs*n_ind_dim, num_vars) — e.g. the u-gradient of the loss
+        head, scattered to mi slot 0.  Runs one factorization + solve;
+        intended every K epochs, not per step."""
+        values, rhs_vec = self._prepare(coeffs, rhs, iv_rhs, steps_list)
+        _, aux = self.inner.solve(values, rhs_vec)
+        g = g.reshape(values.shape[0], -1).astype(self.dtype)
+        dz = self.inner.resolve(values, g, aux, backward=True)
+        res = g - jax.vmap(self.system.normal_matvec_s)(values, dz)
+        rn = jnp.linalg.norm(res, axis=1)
+        gn = jnp.maximum(jnp.linalg.norm(g, axis=1), 1e-30)
+        return {
+            "rnorm": rn,
+            "rel_rnorm": rn / gn,
+            "finite": jnp.isfinite(dz).all(axis=1),
+        }
 
     def solve_stats(self, coeffs, rhs, iv_rhs, steps_list):
         """Diagnostic solve: per-sample normal-equation residual norms and a
@@ -147,17 +178,7 @@ class PDEDenseLayer:
         cholesky_ex(check_errors=True) hard-fail (qp_dual_dense...:39) —
         JAX Cholesky yields NaN on indefinite input instead of raising, so
         callers monitor this."""
-        b = self.bs * self.n_ind_dim
-        coeffs = coeffs.reshape(b, self.grid_size, self.n_orders).astype(self.dtype)
-        rhs = rhs.reshape(b, self.grid_size).astype(self.dtype)
-        if iv_rhs is not None:
-            iv_rhs = iv_rhs.reshape(b, -1).astype(self.dtype)
-        steps_list = [
-            steps_list[i].reshape(b, self.coord_dims[i] - 1).astype(self.dtype)
-            for i in range(self.n_coord)
-        ]
-        values = self.system.fill_values(coeffs, steps_list, dtype=self.dtype)
-        rhs_vec = self.system.fill_rhs(rhs, iv_rhs, dtype=self.dtype)
+        values, rhs_vec = self._prepare(coeffs, rhs, iv_rhs, steps_list)
         x, _ = self.inner.solve(values, rhs_vec)
         atb = jax.vmap(self.system.rmatvec_s)(values, rhs_vec)
         res = atb - jax.vmap(self.system.normal_matvec_s)(values, x)

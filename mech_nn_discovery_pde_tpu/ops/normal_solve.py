@@ -48,22 +48,34 @@ class LstsqInnerSolver(Protocol):
         ...
 
 
-def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver, stats_fn=None):
+def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver, stats_fn=None,
+                     return_stats: bool = False):
     """Build the custom-VJP batched solve function for one PDESystem.
 
-    Signature of the returned function: solve(values, rhs, pdata) -> x, where
-    pdata is non-differentiated auxiliary data (e.g. the multigrid hierarchy;
+    Signature of the returned function: solve(values, rhs, pdata) -> x
+    (or (x, stats) with return_stats=True), where pdata is
+    non-differentiated auxiliary data (e.g. the multigrid hierarchy;
     preconditioning affects convergence only, so its cotangent is zero —
     matching the reference, which builds coarse grids inside the
     autograd.Function forward, outside the tape).
 
-    If `stats_fn` is given it is invoked (host-side, via jax.debug.callback)
-    after every forward AND backward solve as stats_fn(phase, stats) with
-    phase in {'forward', 'backward'} and stats a dict of per-batch arrays:
-    'rnorm' / 'rel_rnorm' (normal-equation residual), 'finite', plus any
-    solver-specific entries (e.g. FGMRES 'iters') — parity with the
-    reference's per-solve residual logging
-    (qp_dual_sparse_multigrid_normal_kkt.py:59-60,105-107)."""
+    Per-solve diagnostics (parity with the reference's per-solve residual
+    logging, qp_dual_sparse_multigrid_normal_kkt.py:59-60,105-107), two
+    delivery modes:
+
+    - `stats_fn`: invoked host-side via jax.debug.callback after every
+      forward AND backward solve as stats_fn(phase, stats).  Needs host
+      callbacks — unavailable on the axon TPU backend.
+    - `return_stats=True`: forward-solve stats are returned IN-BAND as a
+      second output (jit outputs; zero cotangent), so flagship TPU runs can
+      log per-step forward convergence with no host callback and no
+      re-solve.  Backward-solve stats cannot ride an output (they only
+      exist inside the VJP); on callback-free backends use the layers'
+      `backward_stats()` periodic diagnostic.
+
+    The stats dict: 'rnorm' / 'rel_rnorm' (normal-equation residual),
+    'finite', plus any solver-specific entries via inner.stats(aux)
+    (e.g. FGMRES 'iters')."""
 
     matvec_b = jax.vmap(system.matvec_s)
     rmatvec_b = jax.vmap(system.rmatvec_s)
@@ -74,32 +86,44 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver, stats_fn=None):
 
         jax.debug.callback(functools.partial(stats_fn, phase), stats)
 
+    def _fwd_stats(values, rhs, x, lam, aux):
+        # A^T lam = At b - AtA x: the normal-equation residual, two
+        # cheap matvecs on top of the solve
+        rn = jnp.linalg.norm(rmatvec_b(values, lam), axis=1)
+        bn = jnp.linalg.norm(rmatvec_b(values, rhs), axis=1)
+        stats = {
+            "rnorm": rn,
+            "rel_rnorm": rn / jnp.maximum(bn, 1e-30),
+            "finite": jnp.isfinite(x).all(axis=1),
+        }
+        extra = getattr(inner, "stats", None)
+        if extra is not None:
+            stats.update(extra(aux))
+        return stats
+
     @jax.custom_vjp
     def lstsq_solve(values, rhs, pdata):
-        x, _ = inner.solve(values, rhs, pdata)
+        x, aux = inner.solve(values, rhs, pdata)
+        if return_stats:
+            lam = rhs - matvec_b(values, x)
+            return x, _fwd_stats(values, rhs, x, lam, aux)
         return x
 
     def fwd(values, rhs, pdata):
         x, aux = inner.solve(values, rhs, pdata)
         lam = rhs - matvec_b(values, x)
-        if stats_fn is not None:
-            # A^T lam = At b - AtA x: the normal-equation residual, two
-            # cheap matvecs on top of the solve
-            rn = jnp.linalg.norm(rmatvec_b(values, lam), axis=1)
-            bn = jnp.linalg.norm(rmatvec_b(values, rhs), axis=1)
-            stats = {
-                "rnorm": rn,
-                "rel_rnorm": rn / jnp.maximum(bn, 1e-30),
-                "finite": jnp.isfinite(x).all(axis=1),
-            }
-            extra = getattr(inner, "stats", None)
-            if extra is not None:
-                stats.update(extra(aux))
-            _emit("forward", stats)
-        return x, (values, x, lam, aux, pdata)
+        stats = None
+        if stats_fn is not None or return_stats:
+            stats = _fwd_stats(values, rhs, x, lam, aux)
+            if stats_fn is not None:
+                _emit("forward", stats)
+        out = (x, stats) if return_stats else x
+        return out, (values, x, lam, aux, pdata)
 
     def bwd(res, g):
         values, x, lam, aux, pdata = res
+        if return_stats:
+            g = g[0]  # stats output takes zero cotangent
         dz = inner.resolve(values, g, aux, backward=True)
         if stats_fn is not None:
             rn = jnp.linalg.norm(g - normal_b(values, dz), axis=1)
@@ -120,7 +144,7 @@ def make_lstsq_solve(system: PDESystem, inner: LstsqInnerSolver, stats_fn=None):
             - jnp.take(w, rows, axis=1) * jnp.take(x, cols, axis=1)
         )
         pdata_bar = jax.tree.map(jnp.zeros_like, pdata)
-        return values_bar.astype(values.dtype), w.astype(g.dtype), pdata_bar
+        return values_bar.astype(values.dtype), w.astype(values.dtype), pdata_bar
 
     lstsq_solve.defvjp(fwd, bwd)
     return lstsq_solve

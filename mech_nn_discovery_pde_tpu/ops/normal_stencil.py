@@ -273,14 +273,98 @@ def _band_groups(desc: NormalStencilDesc):
     return tuple(out)
 
 
+def _rolled_apply_static(desc: NormalStencilDesc):
+    """Static data for the rolled mega-batch apply: row-take indices and
+    0/1 selection matrices (built once per process per spec)."""
+    groups = _band_groups(desc)
+    m = desc.n_mi
+    cis_all = [_band_channels(b)[0] for g in groups for b in g]
+    cjs_all = [_band_channels(b)[1] for g in groups for b in g]
+    nb = len(cis_all)
+    # forward rows read x at channel cj (rolled -s), accumulate into ci;
+    # backward rows read x at channel ci (product rolled +s), accumulate
+    # into cj
+    sel = np.zeros((m, 2 * nb), np.float32)
+    for r, ci in enumerate(cis_all):
+        sel[ci, r] = 1.0
+    for r, cj in enumerate(cjs_all):
+        sel[cj, nb + r] = 1.0
+    # row-read as a 0/1 matmul (single 1 per row -> exact copy; gathers on
+    # the sublane axis are slow on TPU, MXU matmuls are not)
+    take = np.zeros((2 * nb, m), np.float32)
+    for r, c in enumerate(cjs_all + cis_all):
+        take[r, c] = 1.0
+    # cache plain numpy only: jnp arrays created inside a trace are tracers
+    # and must not outlive it
+    return groups, nb, take, sel
+
+
+_ROLLED_CACHE: dict = {}
+
+
 def normal_stencil_matvec(
     desc: NormalStencilDesc, coef: jnp.ndarray, x: jnp.ndarray
 ) -> jnp.ndarray:
     """(AtA) @ x from the assembled stencil: (NC, grid), (num_vars,) ->
-    (num_vars,).  Channel-major flat shifted multiply-adds; the offset-0
-    block is one batched einsum and each (axis, delta) band group applies
-    as a single contiguous slab product (the apply is per-op-overhead
-    bound on TPU, so fewer/bigger ops win over many small fused chains)."""
+    (num_vars,).  Round-3 "rolled mega-batch" form — the apply is
+    per-op-overhead bound on TPU (~5-20 us/op; VALIDATION.md), so the band
+    pass is restructured into a handful of big ops:
+
+      1. one static row-take builds the (2*nb, N) x-row stack (forward rows
+         at channel cj, backward rows at channel ci);
+      2. per (axis, delta) group, ONE circular roll aligns the forward rows
+         (x rolled by -s) — wraparound is harmless because the coefficient
+         slab is structurally zero wherever p+s crosses an axis boundary
+         (the same zeros that make the padded form safe);
+      3. one elementwise product against [G; G];
+      4. per group, ONE roll of the backward products by +s (zero coef tail
+         lands on the wrapped entries);
+      5. one (m, 2*nb) 0/1 selection matmul accumulates all rows into the
+         m output channels (MXU), fused with the offset-0 block einsum.
+
+    ~45 ops total vs ~150 for the stride-grouped padded form it replaces
+    (kept as normal_stencil_matvec_padded, the exactness reference)."""
+    N, m = desc.grid_size, desc.n_mi
+    if desc not in _ROLLED_CACHE:
+        _ROLLED_CACHE[desc] = _rolled_apply_static(desc)
+    groups, nb, take, sel = _ROLLED_CACHE[desc]
+    X = x.reshape(N, m).T  # (m, N) channel-major
+
+    D = coef[: m * m].reshape(m, m, N)
+    Y = jnp.einsum("ijn,jn->in", D, X, precision=jax.lax.Precision.HIGHEST)
+
+    G = coef[m * m : m * m + nb]
+    Xrows = jnp.einsum("km,mn->kn", take.astype(X.dtype), X,
+                       precision=jax.lax.Precision.HIGHEST)  # exact row copies
+    # forward halves: roll x rows by -s per group
+    fparts = []
+    off = 0
+    for g in groups:
+        s, k = g[0].stride, len(g)
+        fparts.append(jnp.roll(Xrows[off : off + k], -s, axis=1))
+        off += k
+    fstack = jnp.concatenate(fparts, axis=0)
+    prod = jnp.concatenate([G, G], axis=0) * jnp.concatenate(
+        [fstack, Xrows[nb:]], axis=0
+    )
+    # backward halves: roll the products by +s per group
+    bparts = []
+    off = nb
+    for g in groups:
+        s, k = g[0].stride, len(g)
+        bparts.append(jnp.roll(prod[off : off + k], s, axis=1))
+        off += k
+    allrows = jnp.concatenate([prod[:nb]] + bparts, axis=0)
+    Y = Y + jnp.einsum("ik,kn->in", sel.astype(allrows.dtype), allrows,
+                       precision=jax.lax.Precision.HIGHEST)
+    return Y.T.reshape(-1)
+
+
+def normal_stencil_matvec_padded(
+    desc: NormalStencilDesc, coef: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """Stride-grouped padded-slab apply (round-2 form; exactness reference
+    for the rolled mega-batch production apply)."""
     N, m = desc.grid_size, desc.n_mi
     X = x.reshape(N, m).T  # (m, N) channel-major
 
@@ -333,62 +417,6 @@ def _stencil_kernel_body(desc: NormalStencilDesc, coef_ref, x_ref, y_ref):
         y_ref[cj, s:N] = y_ref[cj, s:N] + g * x_ref[ci, 0 : N - s]
 
 
-def _round_up(v: int, m_: int) -> int:
-    return ((v + m_ - 1) // m_) * m_
-
-
-def _pallas_apply_batched(
-    desc: NormalStencilDesc, coef: jnp.ndarray, X: jnp.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Grid-batched pallas_call: coef (bs, NC, N), X (bs, m, N) -> (bs, m, N).
-
-    One grid step per sample; each step holds the whole sample in VMEM.
-    This exists because vmap-of-pallas_call fails to compile through the
-    axon remote-compile path — batching is expressed as an explicit grid
-    dimension instead (also what a hand-written kernel would do).
-
-    Layout: the batch is flattened into ROWS ((bs*NCp, Np) etc.) so each
-    block is a clean 2D (NCp, Np) window — identical in shape to the
-    known-compiling single-sample kernel.  Blocked pallas lowering requires
-    the trailing block dims to be (8, 128)-divisible, so channels pad to a
-    sublane multiple and the flat grid pads to a lane multiple; the zero
-    padding is harmless by the same argument that makes the flat-shift
-    apply wraparound-safe."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    bs = coef.shape[0]
-    m, N = desc.n_mi, desc.grid_size
-    NC = desc.n_channels
-    NCp = _round_up(NC, 8)
-    mp = _round_up(m, 8)
-    Np = _round_up(N, 128)
-
-    coef_p = jnp.zeros((bs, NCp, Np), coef.dtype)
-    coef_p = coef_p.at[:, :NC, :N].set(coef)
-    X_p = jnp.zeros((bs, mp, Np), X.dtype)
-    X_p = X_p.at[:, :m, :N].set(X)
-
-    def kernel(coef_ref, x_ref, y_ref):
-        _stencil_kernel_body(desc, coef_ref, x_ref, y_ref)
-        for i in range(m, mp):  # zero the padding rows (never written above)
-            y_ref[i, :] = jnp.zeros((Np,), X.dtype)
-
-    y = pl.pallas_call(
-        kernel,
-        grid=(bs,),
-        out_shape=jax.ShapeDtypeStruct((bs * mp, Np), X.dtype),
-        in_specs=[
-            pl.BlockSpec((NCp, Np), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, Np), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((mp, Np), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(coef_p.reshape(bs * NCp, Np), X_p.reshape(bs * mp, Np))
-    return y.reshape(bs, mp, Np)[:, :m, :N]
-
-
 def _pallas_single(
     desc: NormalStencilDesc, coef: jnp.ndarray, X: jnp.ndarray, interpret: bool
 ) -> jnp.ndarray:
@@ -437,9 +465,15 @@ def normal_stencil_matvec_pallas(
     zero-padding argument that makes the apply wraparound-safe) was tried
     and measured SLOWER (5.08 ms/apply at K=2 vs 2.79 single-sample on the
     GL batch); the stride-grouped XLA apply measured 1.22 ms/apply in the
-    same session and is the production default."""
+    same session and is the production default.  (A grid-batched
+    pallas_call variant lives in benchmarks/pallas_grid_batched.py — it
+    compile-hangs through the axon remote Mosaic path today.)
+
+    On CPU backends (tests) the kernel runs in interpret mode
+    automatically: Mosaic lowering is TPU-only."""
     from jax import custom_batching
 
+    interpret = interpret or jax.default_backend() == "cpu"
     m, N = desc.n_mi, desc.grid_size
 
     @custom_batching.custom_vmap

@@ -132,6 +132,17 @@ class PDESystem:
         iv_rhs = iv_rhs.reshape(bs, -1).astype(dtype)
         if self.spec.n_iv > 1 and iv_rhs.shape[1] * self.spec.n_iv == self.n_init_rows:
             iv_rhs = jnp.repeat(iv_rhs, self.spec.n_iv, axis=1)
+        elif iv_rhs.shape[1] != self.n_init_rows:
+            raise ValueError(
+                f"iv_rhs has {iv_rhs.shape[1]} entries per sample; expected "
+                f"{self.n_init_rows} (one per initial-constraint row)"
+                + (
+                    f" or {self.n_init_rows // self.spec.n_iv} (repeated "
+                    f"across n_iv={self.spec.n_iv} rows)"
+                    if self.spec.n_iv > 1 and self.n_init_rows % self.spec.n_iv == 0
+                    else ""
+                )
+            )
         dz = jnp.zeros((bs, self.n_deriv_rows), dtype=dtype)
         return jnp.concatenate([eq_rhs.astype(dtype), iv_rhs, dz], axis=1)
 

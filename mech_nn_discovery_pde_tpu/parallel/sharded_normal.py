@@ -119,6 +119,129 @@ def make_sharded_normal_ops(mesh: Mesh, desc: NormalStencilDesc, sp_axis: str = 
     return extend_coef, apply
 
 
+def _exchange_halo_axis(x: jnp.ndarray, axis: int, axis_name: str) -> jnp.ndarray:
+    """Neighbor halo exchange along `axis` (HALO planes each side, zero at
+    the global ends) — the any-rank generalization of _exchange_halo_ax1."""
+    n_shards = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    take = lambda sl: jax.lax.slice_in_dim(x, sl.start, sl.stop, axis=axis)
+    n = x.shape[axis]
+    from_left = jax.lax.ppermute(take(slice(n - HALO, n)), axis_name, fwd)
+    from_right = jax.lax.ppermute(take(slice(0, HALO)), axis_name, bwd)
+    zero = jnp.zeros_like(from_left)
+    from_left = jnp.where(idx == 0, zero, from_left)
+    from_right = jnp.where(idx == n_shards - 1, zero, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def make_sharded_flat_ops(mesh: Mesh, desc: NormalStencilDesc, sp_axis: str = "sp"):
+    """(extend_flat, apply_flat) on the solver's FLAT vector interfaces,
+    vmap-safe — the integration shim that lets MultigridSolver's per-sample
+    code call the explicitly-sharded stencil apply from inside jax.vmap
+    (shard_map cannot appear under vmap, so batching is rerouted through a
+    custom_vmap rule into ONE shard_map over the batched layout).
+
+      coef   (NC, grid_size)         -> coef_h (NC, d0 + 2*HALO, R)  [opaque]
+      x      (num_vars,)             -> y (num_vars,)
+
+    extend_flat exchanges the coefficient halo ONCE per solve; apply_flat
+    exchanges only the m solution channels per matvec (O(surface) comms).
+    Batched layouts keep the batch axis replicated inside the shard_map —
+    the sp path targets few-sample giant patches (compose dp outside by
+    sharding the batch axis of the SURROUNDING jit; XLA reshards at the
+    shard_map boundary)."""
+    from jax import custom_batching
+
+    dims = desc.coord_dims
+    d0 = dims[0]
+    R = int(np.prod(dims[1:])) if len(dims) > 1 else 1
+    m, NC = desc.n_mi, desc.n_channels
+    n_sp = mesh.shape[sp_axis]
+    assert d0 % n_sp == 0, (d0, n_sp)
+    n_loc = d0 // n_sp
+    assert n_loc >= HALO, (
+        f"each shard must hold >= {HALO} planes of grid axis 0 "
+        f"(got {n_loc}); use fewer 'sp' shards or a larger grid"
+    )
+    I, L = HALO * R, n_loc * R
+
+    def _local_apply(coef_h, xh):
+        """(NC, n_loc+2H, R), (m, n_loc+2H, R) -> (m, n_loc, R)."""
+        gf = coef_h.reshape(NC, -1)
+        xf = xh.reshape(m, -1)
+        ys = []
+        for i in range(m):
+            acc = gf[i * m, I : I + L] * xf[0, I : I + L]
+            for j in range(1, m):
+                acc = acc + gf[i * m + j, I : I + L] * xf[j, I : I + L]
+            ys.append(acc)
+        for b in desc.bands:
+            s = b.stride
+            ci, cj = _band_channels(b)
+            ys[ci] = ys[ci] + gf[b.ch, I : I + L] * xf[cj, I + s : I + s + L]
+            ys[cj] = ys[cj] + gf[b.ch, I - s : I - s + L] * xf[ci, I - s : I - s + L]
+        return jnp.stack(ys, axis=0).reshape(m, n_loc, R)
+
+    # ---- extend (coef halo, once per solve) ----------------------------
+
+    @custom_batching.custom_vmap
+    def extend_flat(coef):
+        @partial(shard_map, mesh=mesh, in_specs=P(None, sp_axis, None),
+                 out_specs=P(None, sp_axis, None))
+        def ext(c3):
+            return _exchange_halo_axis(c3, 1, sp_axis)
+
+        return ext(coef.reshape(NC, d0, R))
+
+    @extend_flat.def_vmap
+    def _extend_vmap(axis_size, in_batched, coef):
+        @partial(shard_map, mesh=mesh, in_specs=P(None, None, sp_axis, None),
+                 out_specs=P(None, None, sp_axis, None))
+        def ext(c4):
+            return _exchange_halo_axis(c4, 2, sp_axis)
+
+        return ext(coef.reshape(axis_size, NC, d0, R)), True
+
+    # ---- apply (per matvec) --------------------------------------------
+
+    @custom_batching.custom_vmap
+    def apply_flat(coef_h, x):
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, sp_axis, None), P(None, sp_axis, None)),
+                 out_specs=P(None, sp_axis, None))
+        def app(c3, x3):
+            xh = _exchange_halo_axis(x3, 1, sp_axis)
+            return _local_apply(c3, xh)
+
+        x3 = x.reshape(d0, R, m).transpose(2, 0, 1)
+        y3 = app(coef_h, x3)
+        return y3.transpose(1, 2, 0).reshape(-1)
+
+    @apply_flat.def_vmap
+    def _apply_vmap(axis_size, in_batched, coef_h, x):
+        coef_b, x_b = in_batched
+        if not coef_b:
+            coef_h = jnp.broadcast_to(coef_h, (axis_size,) + coef_h.shape)
+        if not x_b:
+            x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, None, sp_axis, None),
+                           P(None, None, sp_axis, None)),
+                 out_specs=P(None, None, sp_axis, None))
+        def app(c4, x4):
+            xh = _exchange_halo_axis(x4, 2, sp_axis)
+            return jax.vmap(_local_apply)(c4, xh)
+
+        x4 = x.reshape(axis_size, d0, R, m).transpose(0, 3, 1, 2)
+        y4 = app(coef_h, x4)
+        return y4.transpose(0, 2, 3, 1).reshape(axis_size, -1), True
+
+    return extend_flat, apply_flat
+
+
 def to_channel_major_grid(desc: NormalStencilDesc, x: jnp.ndarray) -> jnp.ndarray:
     """(num_vars,) -> (m, d0, R)."""
     dims = desc.coord_dims

@@ -70,13 +70,17 @@ class MultigridSolver:
         n_grid: int = 2,
         config: Optional[PDEConfig] = None,
         device=None,
+        mesh=None,
+        sp_axis: str = "sp",
     ):
         del n_iv_steps, gamma, alpha, double_ret, device
         if evolution:
             raise NotImplementedError(
-                "the multigrid path builds on structured/stencil operators "
-                "which assume evolution=False (every reference layer "
-                "instantiates evolution=False, pde_layer_dense.py:72)"
+                "known parity gap: the reference MultiGridSolver does build "
+                "evolution=True systems (reference solver/multigrid.py:84-108) "
+                "but no shipped reference workload uses them (GL passes "
+                "evolution=False, ginzburg_landau.py:242); this port's "
+                "structured/stencil operators assume evolution=False"
             )
         self.bs = bs
         self.n_ind_dim = n_ind_dim
@@ -128,6 +132,36 @@ class MultigridSolver:
         self._sops = [make_structured_ops(sysk.spec, self.dtype) for sysk in self.systems]
         # assembled block-stencil AtA per level (config.mg_normal_op)
         self._nstencil = [make_normal_stencil_ops(sysk.spec) for sysk in self.systems]
+
+        # ---- explicit sp-sharding of the fine level (scaling path for
+        # single patches that outgrow one chip; SURVEY 5.7/5.8).  The fine
+        # stencil apply runs as a shard_map with ppermute halo exchange over
+        # grid axis 0 (parallel/sharded_normal.py); the coefficient halo is
+        # exchanged once per solve.  Everything else (smoother einsums,
+        # Chebyshev AXPYs, dots, transfers, the small coarse levels) is left
+        # to GSPMD propagation from the operand shardings.
+        self.mesh = mesh
+        self.sp_axis = sp_axis
+        self._shard_ops = None
+        if mesh is not None:
+            if self.config.mg_normal_op != "stencil":
+                raise ValueError(
+                    "sp-sharded solve requires mg_normal_op='stencil' "
+                    f"(got {self.config.mg_normal_op!r})"
+                )
+            if self.config.mg_block_smoother != "point":
+                raise ValueError(
+                    "sp-sharded solve requires mg_block_smoother='point': "
+                    "'line' blocks span grid axis 0, which is the sharded "
+                    "axis (each time-line would straddle shards)"
+                )
+            from mech_nn_discovery_pde_tpu.parallel.sharded_normal import (
+                make_sharded_flat_ops,
+            )
+
+            self._shard_ops = make_sharded_flat_ops(
+                mesh, self._nstencil[0][0], sp_axis
+            )
 
         # transfer matrices between consecutive levels (per axis)
         self._down = [
@@ -238,9 +272,13 @@ class MultigridSolver:
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
         lvl = {"values": v32, "sv": sv, "binv": binv}
-        if self.config.mg_normal_op == "stencil":
+        if self.config.mg_normal_op in ("stencil", "stencil_pallas"):
             _, build, _ = self._nstencil[k]
             lvl["coef"] = jax.vmap(build)(sv)
+            if k == 0 and self._shard_ops is not None:
+                extend, _ = self._shard_ops
+                # halo-extended coefficient fields, exchanged once per solve
+                lvl["coef"] = jax.vmap(extend)(lvl["coef"])
         lvl["lmax"] = self._estimate_lmax(k, lvl)
         return lvl
 
@@ -258,6 +296,8 @@ class MultigridSolver:
                 self._nstencil[k][0], lvl["coef"], v
             )
         if op == "stencil":
+            if k == 0 and self._shard_ops is not None:
+                return self._shard_ops[1](lvl["coef"], v)  # haloed coef
             _, _, apply_ = self._nstencil[k]
             return apply_(lvl["coef"], v)
         smv, srmv = self._sops32[k]
@@ -306,7 +346,7 @@ class MultigridSolver:
             )
             return jnp.vdot(x, y)
 
-        return 1.3 * jax.vmap(one)(lvl)
+        return self.config.mg_lmax_margin * jax.vmap(one)(lvl)
 
     @staticmethod
     def _block_row_slices(sys: PDESystem):
@@ -555,6 +595,10 @@ class MultigridSolver:
             if cfg.mg_normal_op in ("stencil", "stencil_pallas"):
                 desc, build, apply_ = self._nstencil[0]
                 coef = build(sv)
+                if self._shard_ops is not None:
+                    extend, s_apply = self._shard_ops
+                    coef_h = extend(coef)  # halo exchanged once per solve
+                    return lambda v: s_apply(coef_h, v)
                 if cfg.mg_normal_op == "stencil_pallas":
                     from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
                         normal_stencil_matvec_pallas,

@@ -122,3 +122,24 @@ def test_pallas_apply_matches_xla():
         got = normal_stencil_matvec_pallas(desc, coef, x, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_rolled_apply_matches_padded():
+    """The rolled mega-batch production apply == the stride-grouped padded
+    form it replaced (round-3 op-count optimization; exactness reference)."""
+    from mech_nn_discovery_pde_tpu.ops.normal_stencil import (
+        normal_stencil_matvec_padded,
+    )
+
+    for dims in [(9,), (7, 9), (6, 7, 8)]:
+        sys = PDESystem.build(dims, order=2, init_index_mi_list=IVS[len(dims)],
+                              n_iv=1, step_size=0.15)
+        rng = np.random.default_rng(5)
+        values = jnp.asarray(rng.standard_normal(sys.n_entries))
+        x = jnp.asarray(rng.standard_normal(sys.num_vars))
+        desc = make_desc(sys.spec)
+        coef = build_normal_coef(sys.spec, desc, split_values(sys.spec, values))
+        got = normal_stencil_matvec(desc, coef, x)
+        want = normal_stencil_matvec_padded(desc, coef, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-12)
