@@ -19,7 +19,7 @@ Key design points:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -342,3 +342,53 @@ def cg_normal(system_matvec, system_rmatvec, b, **kw):
     """CG on the normal equations expressed as a matvec chain AtA x
     (reference cg_matvec, cg.py:51-147)."""
     return cg(lambda x: system_rmatvec(system_matvec(x)), b, **kw)
+
+
+def cg_block(
+    matvec_b: Callable,
+    b: jnp.ndarray,
+    *,
+    tol: float = 1e-12,
+    maxiter: int = 100,
+    atol: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched CG with per-sample continue masks (reference cg_block,
+    cg.py:841-953): all samples march through the full fixed loop, converged
+    or degenerate samples frozen by a 0/1 mask — the reference's explicit
+    block formulation of what vmap(cg) provides implicitly.  Kept for
+    inventory parity; identical update algebra including the nan-guarded
+    alpha/beta (which our curvature guard subsumes).
+
+    matvec_b: batched SPD operator (bs, n) -> (bs, n).
+    Returns (x, resid) with resid the final per-sample residual norms.
+    """
+    b_norm = jnp.linalg.norm(b, axis=-1)
+    cont = (b_norm > 1e-9).astype(b.dtype)
+    athr = tol * b_norm if atol is None else jnp.maximum(
+        jnp.asarray(atol, b.dtype), tol * b_norm
+    )
+
+    x = jnp.zeros_like(b)
+    r = b - matvec_b(x)
+    tiny = jnp.finfo(b.dtype).tiny
+
+    def body(i, c):
+        x, r, p, rho, cont = c
+        z = r  # unpreconditioned, as in the reference
+        rho_new = jnp.sum(r * z, axis=1)
+        beta = jnp.where(rho > tiny, rho_new / jnp.maximum(rho, tiny), 0.0)
+        p = jnp.where(i == 0, z, z + beta[:, None] * p)
+        q = matvec_b(p)
+        pq = jnp.sum(p * q, axis=1)
+        alpha = jnp.where(pq > tiny, rho_new / jnp.maximum(pq, tiny), 0.0)
+        alpha = alpha * cont
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * q
+        resid = jnp.linalg.norm(r, axis=1)
+        cont = cont * (resid > athr).astype(b.dtype)
+        return x, r, p, rho_new, cont
+
+    x, r, _, _, _ = lax.fori_loop(
+        0, maxiter, body, (x, r, jnp.zeros_like(b), jnp.zeros_like(b_norm), cont)
+    )
+    return x, jnp.linalg.norm(r, axis=1)

@@ -103,3 +103,29 @@ def test_cg_normal():
     b = A.T @ (A @ x_true)
     res = krylov.cg_normal(lambda v: A @ v, lambda y: A.T @ y, b, maxiter=500, tol=1e-12)
     assert float(jnp.linalg.norm(res.x - x_true)) < 1e-5
+
+
+def test_cg_block_matches_vmapped_cg():
+    """cg_block (reference cg.py:841-953 masked batched CG) solves a batch
+    of small SPD systems to the same solutions as vmap(cg), including a
+    zero-rhs sample (frozen by the continue mask)."""
+    from mech_nn_discovery_pde_tpu.solvers.krylov import cg, cg_block
+
+    rng = np.random.default_rng(0)
+    bs, n = 4, 24
+    Ms = rng.standard_normal((bs, n, n))
+    As = jnp.asarray(np.einsum("bij,bkj->bik", Ms, Ms) + 10 * np.eye(n))
+    b = jnp.asarray(rng.standard_normal((bs, n)))
+    b = b.at[2].set(0.0)  # exercise the zero-rhs mask path
+
+    matvec_b = lambda x: jnp.einsum("bij,bj->bi", As, x)
+    x, resid = jax.jit(
+        lambda b: cg_block(matvec_b, b, tol=1e-12, maxiter=200)
+    )(b)
+    want = jax.vmap(
+        lambda A, bi: cg(lambda v: A @ v, bi, tol=1e-12, maxiter=200).x
+    )(As, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want),
+                               rtol=1e-8, atol=1e-8)
+    assert float(resid[2]) < 1e-12
+    assert bool((np.asarray(resid)[[0, 1, 3]] < 1e-8).all())

@@ -186,12 +186,13 @@ def test_mg_stencil_pallas_config_matches_stencil():
     """mg_normal_op='stencil_pallas' is a drop-in swap for 'stencil' (the
     documented config option crashed at hierarchy build before round 3; the
     Pallas kernel runs in interpret mode on CPU backends)."""
-    bs, dims = 1, (16, 16)
+    bs, dims = 1, (16, 12)
     mk = lambda op: MultigridLayer(
         bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
         init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
         config=PDEConfig(precision="f64", mg_normal_op=op,
-                         mg_fgmres_max_iter_forward=15,
+                         mg_smoother_steps_pre=5, mg_smoother_steps_post=5,
+                         mg_fgmres_max_iter_forward=10,
                          mg_fgmres_restarts_forward=1))
     ref_layer, pl_layer = mk("stencil"), mk("stencil_pallas")
     args = transport_args(bs, dims, ref_layer)
