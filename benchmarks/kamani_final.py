@@ -2,6 +2,11 @@
 with crash-babysitting — launch with the winning configuration from the
 round-3 basin-escape probe battery (benchmarks/kamani_probes.py).
 
+The babysitter runs every TPU-touching phase in a FRESH subprocess: after
+an UNAVAILABLE worker fault the in-process jax client can keep a dead
+channel cached, so health probes and training attempts must not share a
+backend with a crashed attempt.
+
 Usage:
     python benchmarks/kamani_final.py <run_name> [key=value ...]
 e.g.
@@ -12,34 +17,30 @@ e.g.
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    name = sys.argv[1]
-    overrides = {}
-    for kv in sys.argv[2:]:
-        k, v = kv.split("=", 1)
-        overrides[k] = v
-
+def train_once(name: str, overrides: dict) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
     from mech_nn_discovery_pde_tpu.config import PDEConfig
     from mech_nn_discovery_pde_tpu.discovery.kamani import KamaniConfig, train
 
+    overrides = dict(overrides)
     precision = overrides.pop("precision", "f32_ir")
     seed = int(overrides.pop("seed", 10))
     lr = float(overrides.pop("lr", 5e-6))
     epochs = int(overrides.pop("epochs", 5000))
     net_dtype = overrides.pop("net_dtype", "f32")
     torch_init = overrides.pop("torch_init", "0") == "1"
-    # in-band stats default OFF here: the axon worker crashed 3x in a row
+    # in-band stats default OFF here: the axon worker crashed repeatedly
     # compiling the stats-enabled Kamani graph on 2026-08-17 while the
-    # stats-free graph (this morning's probes) ran for hours
+    # stats-free graph (the probe battery) ran for hours
     stats = overrides.pop("stats", "0") == "1"
     assert not overrides, f"unknown overrides {overrides}"
 
@@ -54,31 +55,41 @@ def main():
     )
     print(f"=== kamani final {name}: seed={seed} lr={lr} precision={precision} "
           f"net_dtype={net_dtype} torch_init={torch_init} ===", flush=True)
+    train(cfg)
 
-    def worker_healthy():
-        """Trivial op probe: don't hammer a still-cycling worker with the
-        heavy graph — fast-failed attempts prolong the crash loop."""
-        try:
-            import jax.numpy as jnp
 
-            x = jnp.ones((64, 64))
-            float((x @ x).sum())
-            return True
-        except Exception:
-            return False
+def worker_healthy() -> bool:
+    """Trivial-op probe IN A FRESH PROCESS (fresh tunnel client)."""
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
+            "print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=120,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
-    for attempt in range(40):  # long run; worker faults recover in ~5-10 min
-        try:
-            while not worker_healthy():
-                print("worker unhealthy; waiting 120 s", flush=True)
-                time.sleep(120)
-            train(cfg)
+
+def main():
+    if sys.argv[1] == "--once":
+        name = sys.argv[2]
+        overrides = dict(kv.split("=", 1) for kv in sys.argv[3:])
+        train_once(name, overrides)
+        return
+
+    args = sys.argv[1:]
+    for attempt in range(60):  # long run; worker faults recover in ~5-10 min
+        while not worker_healthy():
+            print("worker unhealthy; waiting 120 s", flush=True)
+            time.sleep(120)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--once", *args])
+        if r.returncode == 0:
             print("kamani final run COMPLETE", flush=True)
             return
-        except Exception as e:
-            print(f"attempt {attempt}: {type(e).__name__}: {str(e)[:200]}",
-                  flush=True)
-            time.sleep(600)
+        print(f"attempt {attempt}: exit {r.returncode}; cooling down 600 s",
+              flush=True)
+        time.sleep(600)
     print("kamani final: giving up", flush=True)
 
 
