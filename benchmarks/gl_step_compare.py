@@ -21,7 +21,11 @@ from mech_nn_discovery_pde_tpu.config import PDEConfig
 from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
 
 
-def build_step(op):
+def build_step(variant):
+    # variant = mg_normal_op, optionally suffixed '_bf16' for
+    # mg_precond_dtype='bf16' (half-traffic stored preconditioner)
+    op = variant.split("_bf16")[0]
+    pdt = "bf16" if variant.endswith("_bf16") else "f32"
     bs, dims, ng = 32, (8, 32, 32), 3
     ivs = [
         lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
@@ -35,7 +39,7 @@ def build_step(op):
         init_index_mi_list=ivs, solver_dbl=True, n_grid=ng,
         downsample_first=False,
         config=PDEConfig(precision="f32_ir", mg_solve_dtype="f32",
-                         mg_normal_op=op),
+                         mg_normal_op=op, mg_precond_dtype=pdt),
     )
     rng = np.random.default_rng(0)
     coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))

@@ -22,6 +22,13 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     from mech_nn_discovery_pde_tpu.config import PDEConfig
     from mech_nn_discovery_pde_tpu.discovery.ginzburg_landau import (
         GLConfig, train,

@@ -28,6 +28,17 @@ def train_once(name: str, overrides: dict) -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache (same dir as bench.py): the fwd+bwd Kamani
+    # graph costs minutes of tunnel AOT compile, and the worker is most
+    # crash-prone DURING heavy compiles — one successful compile makes every
+    # later babysitter resume skip it entirely
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     from mech_nn_discovery_pde_tpu.config import PDEConfig
     from mech_nn_discovery_pde_tpu.discovery.kamani import KamaniConfig, train
 

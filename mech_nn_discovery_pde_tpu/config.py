@@ -67,6 +67,22 @@ class PDEConfig:
     # smoother block structure: 'line' (time-line blocks; strong, the
     # TPU-parallel analogue of directional Gauss-Seidel) or 'point'
     mg_block_smoother: str = "line"
+    # dtype of the STORED preconditioner operators (assembled stencil coef,
+    # explicit block inverses, coarse inverse): 'f32' or 'bf16'.  The
+    # V-cycle is HBM-traffic bound on TPU (binv reads ~411 MB + coef ~114 MB
+    # per batched fine-level application); bf16 storage halves that, and
+    # mixed bf16xf32 einsums read the stored operand at half traffic while
+    # promoting in-register.  V-cycle VECTOR arithmetic, assembly,
+    # factorization and the lmax power iteration stay f32 (bf16 residual
+    # vectors collapse the cycle on stiff operators — measured 7e-4 -> 0.77
+    # rel_rnorm on steps=0.01 transport; with f32 vectors the same case
+    # holds 7.7e-3).  FGMRES is *flexible*: the rounded preconditioner
+    # perturbs search directions, not the fine-level operator/residual.
+    # Measured (benchmarks/precond_bf16_quality.py, CPU f64 outer, 40
+    # iters): GL-shaped 3D 1.12e-3 -> 1.31e-3, 2D transport 1.38e-4 ->
+    # 1.83e-4 — a 17-33% residual cost.  Kept opt-in ('f32' default) until
+    # an end-to-end TPU discovery run at bf16 shows unchanged recovery.
+    mg_precond_dtype: str = "f32"
     # dtype of the outer FGMRES iteration on the fine normal equations:
     # 'solver' (= f64 when solver_dbl) or 'f32'.  f32 halves the fine-matvec
     # cost ~6x on TPU (f64 is emulated); the f32 residual floor (~1e-6

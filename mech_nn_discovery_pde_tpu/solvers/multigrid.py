@@ -93,7 +93,16 @@ class MultigridSolver:
         self.solver_dbl = solver_dbl
         x64 = jax.config.jax_enable_x64
         self.dtype = jnp.float64 if (solver_dbl and x64) else jnp.float32
-        self.pdtype = jnp.float32  # preconditioner dtype
+        self.pdtype = jnp.float32  # preconditioner ASSEMBLY dtype
+        mpd = self.config.mg_precond_dtype
+        if mpd not in ("f32", "bf16"):
+            raise ValueError(
+                f"unknown mg_precond_dtype {mpd!r}; expected 'f32' or 'bf16'"
+            )
+        # dtype the preconditioner is STORED in and APPLIED at (V-cycle /
+        # Chebyshev vectors).  Assembly, block factorization and the lmax
+        # power iteration stay f32; see config.mg_precond_dtype.
+        self.vdtype = jnp.bfloat16 if mpd == "bf16" else jnp.float32
         if self.config.mg_normal_op not in ("stencil", "stencil_pallas", "factored"):
             raise ValueError(
                 f"unknown mg_normal_op {self.config.mg_normal_op!r}; expected "
@@ -271,10 +280,11 @@ class MultigridSolver:
 
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
-        lvl = {"values": v32, "sv": sv, "binv": binv}
+        # storage cast AFTER f32 assembly/factorization (mg_precond_dtype)
+        lvl = {"values": v32, "sv": sv, "binv": binv.astype(self.vdtype)}
         if self.config.mg_normal_op in ("stencil", "stencil_pallas"):
             _, build, _ = self._nstencil[k]
-            lvl["coef"] = jax.vmap(build)(sv)
+            lvl["coef"] = jax.vmap(build)(sv).astype(self.vdtype)
             if k == 0 and self._shard_ops is not None:
                 extend, _ = self._shard_ops
                 # halo-extended coefficient fields, exchanged once per solve
@@ -478,7 +488,7 @@ class MultigridSolver:
             cols.append(jax.scipy.linalg.cho_solve((L, True), rhs_c))
         inv = jnp.concatenate(cols, axis=-1)
         coarse_inv = inv * s[:, :, None] * s[:, None, :]
-        return {"levels": levels, "coarse_inv": coarse_inv}
+        return {"levels": levels, "coarse_inv": coarse_inv.astype(self.vdtype)}
 
     # ------------------------------------------------------------------
     # smoothers (single sample, preconditioner dtype)
@@ -494,7 +504,9 @@ class MultigridSolver:
                 r = b - mv(x)
                 x = x + w * apply_B(r)
             return x
-        # Chebyshev over the block-preconditioned operator on [lmax/r, lmax]
+        # Chebyshev over the block-preconditioned operator on [lmax/r, lmax].
+        # Vector arithmetic is f32 regardless of mg_precond_dtype (see
+        # precondition()); apply_B/mv promote their bf16-stored operands.
         lmax = lvl["lmax"]
         lmin = lmax / self.config.mg_chebyshev_ratio
         theta = (lmax + lmin) / 2.0
@@ -558,6 +570,13 @@ class MultigridSolver:
         n_step = (
             self.config.mg_steps_backward if back else self.config.mg_steps_forward
         )
+        # vectors stay f32 even under mg_precond_dtype='bf16': the traffic
+        # win is in the STORED operators (binv/coef/coarse_inv reads, 100s of
+        # MB per application) — vectors are KB-scale, and bf16 residual
+        # arithmetic collapses on stiff operators (measured: steps=0.01 2D
+        # transport rel_rnorm 7e-4 -> 0.77 with bf16 vectors; f32 vectors
+        # with bf16 storage recover it).  Mixed bf16xf32 einsums read the
+        # stored operand at half traffic and promote in-register.
         x = self.v_cycle(hier, r.astype(self.pdtype), 0, back)
         for _ in range(n_step - 1):
             res = r.astype(self.pdtype) - self._normal_apply(

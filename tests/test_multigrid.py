@@ -270,6 +270,30 @@ def test_gl_shaped_preconditioner_quality_guard():
     )
 
 
+def test_mg_precond_dtype_bf16():
+    """mg_precond_dtype='bf16' (half-traffic STORED preconditioner; V-cycle
+    vector arithmetic stays f32 — bf16 vectors collapse on stiff operators,
+    see MultigridSolver.precondition) must keep the flexible-FGMRES outer
+    solve within ~10x of f32 quality even on this stiff (steps=0.01) case.
+    Measured: f32 7.3e-4, bf16 7.7e-3 at 40 iterations — pinned ~4x slack."""
+    bs, dims = 2, (16, 16)
+    cfg = PDEConfig(precision="f64", mg_precond_dtype="bf16",
+                    mg_fgmres_max_iter_forward=40,
+                    mg_fgmres_restarts_forward=10)
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                        config=cfg)
+    args = transport_args(bs, dims, mg)
+    st = jax.jit(lambda c, r, i: mg.solve_stats(c, r, i, args[3]))(*args[:3])
+    rel = float(np.asarray(st["rel_rnorm"]).max())
+    assert rel < 3e-2, f"bf16 preconditioner quality regressed: {rel}"
+
+    with pytest.raises(ValueError, match="mg_precond_dtype"):
+        MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                       init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                       config=PDEConfig(mg_precond_dtype="f16"))
+
+
 def test_in_band_solve_stats_and_backward_probe():
     """return_solve_stats=True: the layers' third output carries forward
     FGMRES iters + residuals as ordinary jit outputs (no host callback —
