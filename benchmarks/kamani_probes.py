@@ -47,8 +47,13 @@ PROBES = {
     "f64nets_s10": dict(seed=10, precision="f64", net_dtype="f64"),
     # 4x learning rate
     "lr4x_s10": dict(seed=10, lr=2e-5),
-    # torch Linear/Conv init distribution (nonzero uniform biases)
+    # torch Linear/Conv init distribution (nonzero uniform biases) — the
+    # reference script is UNSEEDED torch, so its init distribution (not any
+    # one seed) is the faithful object; sample several draws
     "torchinit_s10": dict(seed=10, torch_init=True),
+    "torchinit_s0": dict(seed=0, torch_init=True),
+    "torchinit_s1": dict(seed=1, torch_init=True),
+    "torchinit_s2": dict(seed=2, torch_init=True),
 }
 
 

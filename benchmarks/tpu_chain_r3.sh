@@ -17,6 +17,12 @@ sleep 120
 echo "[chain] === bf16 preconditioner GL step A/B ==="
 timeout 3600 python benchmarks/gl_step_compare.py stencil stencil_bf16 stencil stencil_bf16
 
+echo "[chain] === kamani torch-init probe battery (300 epochs each) ==="
+timeout 4500 python benchmarks/kamani_probes.py torchinit_s0
+timeout 4500 python benchmarks/kamani_probes.py torchinit_s1
+timeout 4500 python benchmarks/kamani_probes.py torchinit_s10
+python benchmarks/kamani_probes.py --report || true
+
 echo "[chain] === GL second equation (veq, 500 epochs) ==="
 timeout 14400 python benchmarks/gl_stretch.py veq 500
 

@@ -189,6 +189,31 @@ def simulate_overlay(epoch, pr, er, log_dir, amplitudes=(0.5, 1, 5, 10, 11, 12))
     plt.close(fig)
 
 
+def closed_loop_error(pr, er, amplitudes=(0.5, 1, 5, 10, 11, 12)):
+    """Quantitative form of the reference's closed-loop criterion
+    (reference discovery/kamani.py:352-455 Lissajous overlays): roll out
+    the learned ODE with scipy solve_ivp across the amplitude sweep and
+    return {amplitude: relative L2 trajectory error vs the true model}.
+    Failed/truncated integrations score inf."""
+    from scipy.integrate import solve_ivp
+
+    freq = 1.0
+    t_max = 5 * 2 * np.pi
+    t_eval = np.linspace(0, t_max, 1000)
+    errs = {}
+    for a in amplitudes:
+        true = solve_ivp(kamani_rhs, [0, t_max], [0.0], t_eval=t_eval,
+                         args=(a, freq))
+        learned = solve_ivp(learned_rhs, [0, t_max], [0.0], t_eval=t_eval,
+                            args=(a, freq, pr, er))
+        if true.y.shape[1] != len(t_eval) or learned.y.shape[1] != len(t_eval):
+            errs[a] = float("inf")
+            continue
+        denom = float(np.linalg.norm(true.y[0])) or 1.0
+        errs[a] = float(np.linalg.norm(learned.y[0] - true.y[0]) / denom)
+    return errs
+
+
 def true_params():
     p = KAMANI_PARAMS
     pr = np.array(
@@ -252,6 +277,9 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
         log.info(msg)
         if cfg.plot_every and (epoch + 1) % cfg.plot_every == 0:
             simulate_overlay(epoch, pr, er, log_dir)
+            cle = closed_loop_error(pr, er)
+            log.info("closed-loop traj rel err: "
+                     + ", ".join(f"a={a}: {e:.3f}" for a, e in cle.items()))
         harness.end_epoch(epoch, params, opt_state)
     return params, model
 

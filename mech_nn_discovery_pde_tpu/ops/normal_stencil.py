@@ -82,8 +82,10 @@ def make_desc(spec: ConstraintSpec) -> NormalStencilDesc:
     if spec.evolution:
         raise NotImplementedError(
             "evolution=True equation rows reference the previous time step; "
-            "the block-stencil normal operator assumes same-point equation "
-            "entries (as does ops/structured.py) — use the COO paths"
+            "the assembled block-stencil normal operator assumes same-point "
+            "equation entries — use the factored structured path "
+            "(ops/structured.py models the shift; MultigridSolver falls "
+            "back to mg_normal_op='factored' automatically)"
         )
     vs = spec.var_set
     m = vs.n_mi

@@ -5,7 +5,9 @@ The constraint matrix is a fixed-stencil operator; instead of indexing
 weighted sum of *statically shifted slices* of the solution field
 U = x.reshape(*dims, n_mi):
 
-  equation rows    sum_mi c[p, mi] U[p, mi]             (interior crop)
+  equation rows    sum_mi c[p, mi] U[p or p-e_t, mi]    (interior crop;
+                   evolution=True reads t-derivative mi at the previous
+                   time step via one extra static shifted slice)
   initial rows     U[box, mi]                           (rectangular slices)
   central rows     sum_j w_j[p] U0[p + off_j e_c] - h^k U[p, mi_k]
                    with three static regions along coord c (left-edge
@@ -112,9 +114,23 @@ def matvec_structured(
 
     parts = []
 
-    # equation rows: interior crop, contract over mi
+    # equation rows: interior crop, contract over mi.  evolution=True
+    # redirects the time-derivative mi entries to the PREVIOUS time step
+    # (reference build_equation_constraints :756-761): interior points have
+    # t >= 1, so those entries read the statically shifted slice
+    # U[0:-1, ...] instead of U[1:, ...] — still gather-free.
     sl = (slice(1, None),) + (slice(1, -1),) * (len(dims) - 1)
-    parts.append(jnp.sum(sv.eq * U[sl], axis=-1).reshape(-1))
+    if spec.evolution:
+        w_prev = np.zeros(n_mi, dtype=np.float64)
+        w_prev[vs.t_deriv_mi_indices] = 1.0
+        w_same = 1.0 - w_prev
+        sl_prev = (slice(0, -1),) + (slice(1, -1),) * (len(dims) - 1)
+        eq_rows = jnp.sum(sv.eq * w_same * U[sl], axis=-1) + jnp.sum(
+            sv.eq * w_prev * U[sl_prev], axis=-1
+        )
+        parts.append(eq_rows.reshape(-1))
+    else:
+        parts.append(jnp.sum(sv.eq * U[sl], axis=-1).reshape(-1))
 
     # initial rows: entries at box points (n_iv repeats); entry values are 1
     # in the real system but carried for generality

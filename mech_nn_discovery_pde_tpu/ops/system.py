@@ -257,10 +257,9 @@ class PDESystem:
         # (subsequent bisection could not pin the fault to any one
         # implementation — the worker was also crashing on other code paths,
         # so this is a conservative choice, not established causality).
-        # Evolution systems must use the index-based paths: their equation
-        # rows reference the previous time step, which the structured
-        # shifted-slice operators do not model.
-        return len(self.coord_dims) > 1 and not self.spec.evolution
+        # Evolution equation rows (previous-time-step entries) are modeled
+        # by an extra static shifted slice in matvec_structured.
+        return len(self.coord_dims) > 1
 
     def matvec_s(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         if not self._use_structured:

@@ -28,6 +28,7 @@ IFT custom VJP in ops/normal_solve.py.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -74,14 +75,7 @@ class MultigridSolver:
         sp_axis: str = "sp",
     ):
         del n_iv_steps, gamma, alpha, double_ret, device
-        if evolution:
-            raise NotImplementedError(
-                "known parity gap: the reference MultiGridSolver does build "
-                "evolution=True systems (reference solver/multigrid.py:84-108) "
-                "but no shipped reference workload uses them (GL passes "
-                "evolution=False, ginzburg_landau.py:242); this port's "
-                "structured/stencil operators assume evolution=False"
-            )
+        self.evolution = evolution
         self.bs = bs
         self.n_ind_dim = n_ind_dim
         self.order = order
@@ -108,6 +102,14 @@ class MultigridSolver:
                 f"unknown mg_normal_op {self.config.mg_normal_op!r}; expected "
                 "'stencil', 'stencil_pallas' or 'factored'"
             )
+        if evolution and self.config.mg_normal_op != "factored":
+            # evolution equation rows reference the previous time step; the
+            # assembled block-stencil AtA (ops/normal_stencil.py) assumes
+            # same-point entries, but the factored A^T(A x) structured path
+            # models the shift exactly (ops/structured.py) — fall back.
+            # Reference MultiGridSolver builds evolution systems the same
+            # matrix-free way (reference solver/multigrid.py:84-108).
+            self.config = dataclasses.replace(self.config, mg_normal_op="factored")
         msd = self.config.mg_solve_dtype
         if msd == "auto":
             msd = "f32" if jax.default_backend() == "tpu" else "solver"
@@ -139,8 +141,13 @@ class MultigridSolver:
         # preconditioner, solve dtype for the fine level)
         self._sops32 = [make_structured_ops(sysk.spec, self.pdtype) for sysk in self.systems]
         self._sops = [make_structured_ops(sysk.spec, self.dtype) for sysk in self.systems]
-        # assembled block-stencil AtA per level (config.mg_normal_op)
-        self._nstencil = [make_normal_stencil_ops(sysk.spec) for sysk in self.systems]
+        # assembled block-stencil AtA per level (config.mg_normal_op); not
+        # built for evolution systems (previous-time-step equation entries —
+        # the factored fallback above handles them)
+        self._nstencil = (
+            None if evolution
+            else [make_normal_stencil_ops(sysk.spec) for sysk in self.systems]
+        )
 
         # ---- explicit sp-sharding of the fine level (scaling path for
         # single patches that outgrow one chip; SURVEY 5.7/5.8).  The fine

@@ -208,12 +208,16 @@ def test_structured_matvec_matches_coo():
     from mech_nn_discovery_pde_tpu.ops.system import PDESystem
 
     rng = np.random.default_rng(7)
-    for dims, ivs in [
-        ((9,), [lambda nt: (0, 0, [0], [0])]),
-        ((6, 7), [lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])]),
-        ((6, 6, 7), [lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1])]),
+    for dims, ivs, evolution in [
+        ((9,), [lambda nt: (0, 0, [0], [0])], False),
+        ((6, 7), [lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])], False),
+        ((6, 7), [lambda nx, ny: (0, 0, [0, 0], [0, ny - 1])], True),
+        ((6, 6, 7), [lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1])],
+         False),
+        ((6, 6, 7), [lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1])],
+         True),
     ]:
-        sys = PDESystem.build(dims, init_index_mi_list=ivs)
+        sys = PDESystem.build(dims, init_index_mi_list=ivs, evolution=evolution)
         vals = jnp.asarray(rng.standard_normal(sys.n_entries))
         sv = split_values(sys.spec, vals)
         mv, rmv = make_structured_ops(sys.spec, jnp.float64)
@@ -302,11 +306,11 @@ def test_check_finite_raises():
 
 
 def test_evolution_2d_gradients_match_fd():
-    """Regression test for the evolution-mode routing fix: 2D+ evolution
-    systems must use the COO operator paths (the structured/stencil fast
-    paths assume same-point equation rows and silently computed a wrong
-    adjoint residual lam before the fix).  IFT gradients through a 2D
-    evolution solve now match finite differences."""
+    """IFT gradients through a 2D evolution solve match finite differences.
+    (Historically this caught a routing bug where the structured path — which
+    then assumed same-point equation rows — computed a wrong adjoint residual;
+    matvec_structured now models the previous-time-step shift directly, and
+    this test exercises that path end-to-end through the custom VJP.)"""
     from mech_nn_discovery_pde_tpu.config import PDEConfig
     from mech_nn_discovery_pde_tpu.layers.dense import PDEDenseLayer
 
