@@ -55,6 +55,23 @@ def test_burgers_harness_steps(tmp_path, monkeypatch):
     assert "u_t" in eq
 
 
+def test_kamani_closed_loop_error_metric():
+    """closed_loop_error (the quantitative form of the reference's
+    Lissajous-overlay criterion, reference discovery/kamani.py:352-455)
+    scores the true parameters ~0 and a 2x-off sigma_t row ~0.5."""
+    from mech_nn_discovery_pde_tpu.discovery.kamani import (
+        closed_loop_error, true_params,
+    )
+
+    pr, er = true_params()
+    errs = closed_loop_error(pr, er, amplitudes=(1, 10))
+    assert max(errs.values()) < 0.01, errs
+    pr2 = pr.copy()
+    pr2[1] *= 0.5
+    errs2 = closed_loop_error(pr2, er, amplitudes=(1, 10))
+    assert min(errs2.values()) > 0.2, errs2
+
+
 def test_kamani_harness_steps(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from mech_nn_discovery_pde_tpu.discovery.kamani import (
