@@ -37,12 +37,17 @@ def main():
     opts = dict(
         veq=dict(first_equation=False),
         nnt=dict(nn_transform=True),
+        # bf16 stored preconditioner on the standard first-equation run:
+        # the end-to-end recovery check gating a default flip of
+        # config.mg_precond_dtype
+        bf16=dict(),
     )[which]
     log_dir = f"logs/gl_stretch_{which}"
     os.makedirs(log_dir, exist_ok=True)
     cfg = GLConfig(
         epochs=epochs, resume_from=log_dir, ckpt_every=10,
         pde=PDEConfig(precision="f32_ir", mg_solve_dtype="f32",
+                      mg_precond_dtype="bf16" if which == "bf16" else "f32",
                       log_solves=False, return_solve_stats=True),
         **opts,
     )
