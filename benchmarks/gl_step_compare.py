@@ -22,10 +22,12 @@ from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
 
 
 def build_step(variant):
-    # variant = mg_normal_op, optionally suffixed '_bf16' for
-    # mg_precond_dtype='bf16' (half-traffic stored preconditioner)
-    op = variant.split("_bf16")[0]
-    pdt = "bf16" if variant.endswith("_bf16") else "f32"
+    # variant = mg_normal_op, optionally suffixed '_bf16' (mg_precond_dtype
+    # ='bf16', half-traffic stored preconditioner) and/or '_fused'
+    # (mg_smoother='chebyshev_fused', VMEM-resident Pallas smoothing pass)
+    pdt = "bf16" if "_bf16" in variant else "f32"
+    smoother = "chebyshev_fused" if "_fused" in variant else "chebyshev"
+    op = variant.replace("_bf16", "").replace("_fused", "")
     bs, dims, ng = 32, (8, 32, 32), 3
     ivs = [
         lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
@@ -39,7 +41,8 @@ def build_step(variant):
         init_index_mi_list=ivs, solver_dbl=True, n_grid=ng,
         downsample_first=False,
         config=PDEConfig(precision="f32_ir", mg_solve_dtype="f32",
-                         mg_normal_op=op, mg_precond_dtype=pdt),
+                         mg_normal_op=op, mg_precond_dtype=pdt,
+                         mg_smoother=smoother),
     )
     rng = np.random.default_rng(0)
     coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))

@@ -1,0 +1,105 @@
+import sys; sys.path.insert(0, ".")  # noqa: E402
+"""Decompose the GL training-step time by config deltas (full-step A/B;
+tunnel microbenchmarks are untrustworthy, CLAUDE.md).
+
+Each variant changes ONE cost knob from the production config; the step-time
+delta attributes cost to that component:
+
+  base      production config (stencil, cheb 10+10, fgmres 40/40)
+  cheb5     pre/post 5 smoothing steps    -> smoother share
+  it20      fgmres 20 fwd / 20 bwd        -> per-iteration share
+  rst5      restart 5 (shorter recurrences, same iters) -> CGS2/dot share
+  ng2       n_grid 2 (no 3rd level; coarse solve on (8,16,16))
+  fused     chebyshev_fused Pallas smoother (bf16 store)
+  fusedf32  chebyshev_fused with f32 store (fine level falls back to XLA)
+
+Usage: python benchmarks/gl_step_decomp.py [variant ...]
+"""
+
+import os
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+import jax.numpy as jnp
+import numpy as np
+
+from mech_nn_discovery_pde_tpu.config import PDEConfig
+from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
+
+VARIANTS = {
+    "base": {},
+    "cheb5": dict(mg_smoother_steps_pre=5, mg_smoother_steps_post=5),
+    "it20": dict(mg_fgmres_max_iter_forward=20, mg_fgmres_max_iter_backward=20),
+    "rst5": dict(mg_fgmres_restarts_forward=5, mg_fgmres_restarts_backward=5),
+    "fused": dict(mg_smoother="chebyshev_fused", mg_precond_dtype="bf16"),
+    "fusedf32": dict(mg_smoother="chebyshev_fused"),
+}
+
+
+def build_step(name):
+    over = dict(VARIANTS[name])
+    ng = over.pop("n_grid", 3)
+    bs, dims = 32, (8, 32, 32)
+    ivs = [
+        lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
+        lambda nt, nx, ny: (1, 0, [1, 0, 0], [nt - 1, 0, ny - 1]),
+        lambda nt, nx, ny: (2, 0, [1, 1, 0], [nt - 1, nx - 1, 0]),
+        lambda nt, nx, ny: (1, 0, [1, nx - 1, 1], [nt - 1, nx - 1, ny - 1]),
+        lambda nt, nx, ny: (2, 0, [1, 1, ny - 1], [nt - 1, nx - 2, ny - 1]),
+    ]
+    layer = MultigridLayer(
+        bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+        init_index_mi_list=ivs, solver_dbl=True, n_grid=ng,
+        downsample_first=False,
+        config=PDEConfig(precision="f32_ir", mg_solve_dtype="f32", **over),
+    )
+    rng = np.random.default_rng(0)
+    coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))
+    coeffs[..., 0] = -1.0
+    coeffs[..., 1] = 1.0
+    coeffs[..., 5] = -1.0
+    coeffs[..., 6] = -1.0
+    rhs = 0.01 * rng.standard_normal((bs, layer.grid_size))
+    iv = 0.1 * rng.standard_normal((bs, layer.system.n_init_rows))
+    steps = [jnp.asarray(np.full((bs, d - 1), 0.1)) for d in dims]
+    c0, r0, i0 = (jnp.asarray(a) for a in (coeffs, rhs, iv))
+
+    def fwd_bwd(c, r, i):
+        def loss(c, r, i):
+            u0, _, _ = layer(c, r, i, steps)
+            return jnp.sum(u0**2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(c, r, i)
+
+    return jax.jit(fwd_bwd), (c0, r0, i0)
+
+
+def main():
+    names = sys.argv[1:] or ["base", "cheb5", "it20", "fused"]
+    for name in names:
+        try:
+            step, (c0, r0, i0) = build_step(name)
+            t0 = time.perf_counter()
+            out = step(c0, r0, i0)
+            jax.block_until_ready(out)
+            t_first = time.perf_counter() - t0
+            n = 3
+            t0 = time.perf_counter()
+            for k in range(1, n + 1):
+                out = step(c0 + 1e-9 * k, r0 + 1e-9 * k, i0)
+                jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n
+            print(f"{name}: step {dt:.2f} s (first incl compile {t_first:.1f} s)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

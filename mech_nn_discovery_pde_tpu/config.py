@@ -53,8 +53,15 @@ class PDEConfig:
     #                    shifted-slice operators (ops/structured.py).
     mg_normal_op: str = "stencil"
 
-    # smoother selection: 'chebyshev' or 'jacobi' (both point-block
-    # preconditioned)
+    # smoother selection: 'chebyshev', 'chebyshev_fused' or 'jacobi' (all
+    # block-preconditioned).  'chebyshev_fused' runs the whole multi-step
+    # Chebyshev pass of each level as ONE Pallas kernel per sample with the
+    # stored operators VMEM-resident (ops/fused_smoother.py) — the stored
+    # binv/coef are then read from HBM once per smoothing pass instead of
+    # once per Chebyshev step.  Levels whose operands exceed the ~16 MB
+    # VMEM budget (or 1D levels) fall back to the XLA chebyshev path; the
+    # GL fine level fits with mg_precond_dtype='bf16'.  Requires a
+    # stencil-family mg_normal_op and the 'line' block smoother.
     mg_smoother: str = "chebyshev"
     # Chebyshev smoothing interval is [lmax/ratio, lmax]
     mg_chebyshev_ratio: float = 16.0

@@ -102,6 +102,30 @@ class MultigridSolver:
                 f"unknown mg_normal_op {self.config.mg_normal_op!r}; expected "
                 "'stencil', 'stencil_pallas' or 'factored'"
             )
+        if self.config.mg_smoother not in ("chebyshev", "chebyshev_fused",
+                                           "jacobi"):
+            raise ValueError(
+                f"unknown mg_smoother {self.config.mg_smoother!r}; expected "
+                "'chebyshev', 'chebyshev_fused' or 'jacobi'"
+            )
+        self._fused_smoother = self.config.mg_smoother == "chebyshev_fused"
+        if self._fused_smoother:
+            if evolution or self.config.mg_normal_op == "factored":
+                raise ValueError(
+                    "mg_smoother='chebyshev_fused' needs the assembled "
+                    "stencil operator (mg_normal_op='stencil'); evolution "
+                    "systems fall back to 'factored' and are unsupported"
+                )
+            if self.config.mg_block_smoother != "line":
+                raise ValueError(
+                    "mg_smoother='chebyshev_fused' implements the 'line' "
+                    "block smoother only"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "mg_smoother='chebyshev_fused' is incompatible with the "
+                    "sp-sharded solve (halo-extended fine coefficients)"
+                )
         if evolution and self.config.mg_normal_op != "factored":
             # evolution equation rows reference the previous time step; the
             # assembled block-stencil AtA (ops/normal_stencil.py) assumes
@@ -148,6 +172,26 @@ class MultigridSolver:
             None if evolution
             else [make_normal_stencil_ops(sysk.spec) for sysk in self.systems]
         )
+
+        # per-level fused-smoother eligibility (ops/fused_smoother.py):
+        # needs a 2D+ grid and all kernel operands inside the ~16 MB/core
+        # VMEM budget (stored operators at vdtype + ~6 f32 iteration
+        # vectors); ineligible levels run the XLA chebyshev path
+        self._fused_lvl = [False] * self.n_grid
+        self._fused_kernels: Dict[Tuple[int, int, bool], Any] = {}
+        if self._fused_smoother:
+            esz = jnp.dtype(self.vdtype).itemsize
+            for k, sysk in enumerate(self.systems):
+                dims = self.dim_list[k]
+                if len(dims) < 2:
+                    continue
+                desc = self._nstencil[k][0]
+                m, N = desc.n_mi, desc.grid_size
+                bw = dims[0] * m
+                S = N // dims[0]
+                op_bytes = (desc.n_channels * N + bw * bw * S) * esz
+                vec_bytes = 6 * m * N * 4
+                self._fused_lvl[k] = op_bytes + vec_bytes < 14 * 2**20
 
         # ---- explicit sp-sharding of the fine level (scaling path for
         # single patches that outgrow one chip; SURVEY 5.7/5.8).  The fine
@@ -287,7 +331,12 @@ class MultigridSolver:
 
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
-        # storage cast AFTER f32 assembly/factorization (mg_precond_dtype)
+        # storage cast AFTER f32 assembly/factorization (mg_precond_dtype).
+        # Fused-smoother levels store the inverse TRANSPOSED as
+        # (bw, bw, n_lines) so every kernel MAC is lane-parallel over the
+        # spatial lines (ops/fused_smoother._emit_block_apply).
+        if self._fused_lvl[k]:
+            binv = jnp.transpose(binv, (0, 2, 3, 1))
         lvl = {"values": v32, "sv": sv, "binv": binv.astype(self.vdtype)}
         if self.config.mg_normal_op in ("stencil", "stencil_pallas"):
             _, build, _ = self._nstencil[k]
@@ -320,16 +369,21 @@ class MultigridSolver:
         smv, srmv = self._sops32[k]
         return srmv(lvl["sv"], smv(lvl["sv"], v))
 
-    def _block_apply(self, sysk: PDESystem, binv, r):
+    def _block_apply(self, sysk: PDESystem, binv, r, transposed: bool = False):
         """Apply the block-Jacobi preconditioner r -> B^{-1} r via the
         precomputed explicit inverses (one batched matmul).  Blocks are
         time-lines (all (t, mi) unknowns of one spatial column; the
         TPU-parallel analogue of Gauss-Seidel's time-directional sweep) or
-        single grid points, per config.mg_block_smoother."""
+        single grid points, per config.mg_block_smoother.  `transposed`
+        marks the fused-smoother (bw, bw, n_lines) storage layout."""
         if self.config.mg_block_smoother == "line":
             rb = sysk.line_vec_to_blocks(r, axis=0)
-            z = jnp.einsum("nij,nj->ni", binv, rb,
-                           precision=jax.lax.Precision.HIGHEST)
+            if transposed:
+                z = jnp.einsum("ijn,nj->ni", binv, rb,
+                               precision=jax.lax.Precision.HIGHEST)
+            else:
+                z = jnp.einsum("nij,nj->ni", binv, rb,
+                               precision=jax.lax.Precision.HIGHEST)
             return sysk.line_blocks_to_vec(z, axis=0)
         n_mi = sysk.var_set.n_mi
         rb = r.reshape(-1, n_mi)
@@ -353,13 +407,15 @@ class MultigridSolver:
 
             def body(_, x):
                 y = self._block_apply(
-                    sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x)
+                    sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x),
+                    transposed=self._fused_lvl[k],
                 )
                 return y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
 
             x = jax.lax.fori_loop(0, iters, body, x)
             y = self._block_apply(
-                sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x)
+                sysk, lvl_s["binv"], self._normal_apply(k, lvl_s, x),
+                transposed=self._fused_lvl[k],
             )
             return jnp.vdot(x, y)
 
@@ -501,10 +557,29 @@ class MultigridSolver:
     # smoothers (single sample, preconditioner dtype)
     # ------------------------------------------------------------------
 
-    def _smooth(self, k: int, lvl, b, x, steps: int, back: bool):
+    def _smooth(self, k: int, lvl, b, x, steps: int, back: bool,
+                x0_zero: bool = False):
         sysk = self.systems[k]
-        apply_B = lambda r: self._block_apply(sysk, lvl["binv"], r)
+        apply_B = lambda r: self._block_apply(
+            sysk, lvl["binv"], r, transposed=self._fused_lvl[k])
         mv = lambda v: self._normal_apply(k, lvl, v)
+        if self._fused_lvl[k]:
+            # whole pass as one VMEM-resident Pallas kernel per sample
+            # (ops/fused_smoother.py); exactness-tested against the XLA
+            # chebyshev branch below
+            key = (k, steps, x0_zero)
+            sm = self._fused_kernels.get(key)
+            if sm is None:
+                from mech_nn_discovery_pde_tpu.ops.fused_smoother import (
+                    make_fused_smoother,
+                )
+
+                sm = make_fused_smoother(
+                    self._nstencil[k][0], self.dim_list[k], steps,
+                    self.config.mg_chebyshev_ratio, x0_zero,
+                )
+                self._fused_kernels[key] = sm
+            return sm(lvl["coef"], lvl["binv"], b, x, lvl["lmax"])
         if self.config.mg_smoother == "jacobi":
             w = self.config.jacobi_w if back else self.config.jacobi_w_forward
             for _ in range(steps):
@@ -554,7 +629,8 @@ class MultigridSolver:
     def v_cycle(self, hier, b, k: int = 0, back: bool = False) -> jnp.ndarray:
         lvl = hier["levels"][k]
         x = jnp.zeros_like(b)
-        x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre, back)
+        x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre, back,
+                         x0_zero=True)
         r = b - self._normal_apply(k, lvl, x)
         rH = self._restrict_vec(k, r)
         if k == self.n_grid - 2:

@@ -321,6 +321,80 @@ def test_mg_precond_dtype_bf16():
                        config=PDEConfig(mg_precond_dtype="f16"))
 
 
+def test_fused_smoother_matches_xla_smoother():
+    """ops/fused_smoother (single Pallas kernel per smoothing pass,
+    interpret mode on CPU) reproduces MultigridSolver._smooth's Chebyshev
+    branch to f32 roundoff, for both the zero and nonzero initial guess."""
+    from mech_nn_discovery_pde_tpu.ops.fused_smoother import make_fused_smoother
+
+    bs, dims = 2, (6, 12, 12)
+    ivs = [
+        lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
+        lambda nt, nx, ny: (1, 0, [1, 0, 0], [nt - 1, 0, ny - 1]),
+    ]
+    lay = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                         init_index_mi_list=ivs, solver_dbl=True, n_grid=2,
+                         downsample_first=False,
+                         config=PDEConfig(precision="f64"))
+    mgs = lay.mg_solver
+    rng = np.random.default_rng(0)
+    gs = lay.grid_size
+    coeffs = np.zeros((bs, gs, lay.n_orders))
+    coeffs[..., 0] = 0.4
+    coeffs[..., 1] = 1.0
+    coeffs[..., 5] = -0.1
+    steps = [jnp.asarray(np.full((bs, d - 1), 0.05)) for d in dims]
+    coeffs = jnp.asarray(coeffs)
+    rhs = jnp.asarray(0.1 * rng.standard_normal((bs, gs)))
+    iv = jnp.asarray(0.1 * rng.standard_normal((bs, lay.system.n_init_rows)))
+    vals = mgs.systems[0].fill_values(coeffs, steps, dtype=jnp.float64)
+    hier = mgs.build_hierarchy(coeffs, rhs, iv, steps, vals)
+    lvl = jax.tree.map(lambda a: a[0], hier["levels"][0])
+    b = jnp.asarray(rng.standard_normal(mgs.systems[0].num_vars), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(b.shape[0]), jnp.float32)
+    desc = mgs._nstencil[0][0]
+    binv_t = jnp.transpose(lvl["binv"], (1, 2, 0))
+    for steps_n, x0_zero, x_init in [(4, True, jnp.zeros_like(b)),
+                                     (3, False, x0)]:
+        ref = mgs._smooth(0, lvl, b, x_init, steps_n, False)
+        sm = make_fused_smoother(desc, dims, steps=steps_n,
+                                 ratio=mgs.config.mg_chebyshev_ratio,
+                                 x0_zero=x0_zero, interpret=True)
+        got = sm(lvl["coef"], binv_t, b, x_init, lvl["lmax"])
+        err = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+        assert err < 1e-4, f"fused smoother mismatch (x0_zero={x0_zero}): {err}"
+
+
+def test_mg_fused_smoother_solve_parity():
+    """mg_smoother='chebyshev_fused' end-to-end: same FGMRES convergence
+    class and solution as the XLA chebyshev smoother (measured rel_rnorm
+    1.9e-4 vs 1.9e-4, solution diff 1.5e-4 on 2D transport)."""
+    bs, dims = 2, (16, 16)
+    outs = {}
+    for sm in ("chebyshev", "chebyshev_fused"):
+        mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1,
+                            n_iv=1, init_index_mi_list=IVS_2D, solver_dbl=True,
+                            n_grid=2, config=PDEConfig(precision="f64",
+                                                       mg_smoother=sm))
+        if sm == "chebyshev_fused":
+            assert all(mg.mg_solver._fused_lvl), mg.mg_solver._fused_lvl
+        args = transport_args(bs, dims, mg)
+        st = mg.solve_stats(*args)
+        outs[sm] = (np.asarray(st["rel_rnorm"]).max(),
+                    np.asarray(mg(*args)[0]))
+    r_x, u_x = outs["chebyshev"]
+    r_f, u_f = outs["chebyshev_fused"]
+    assert r_f < 3 * r_x + 1e-6, (r_f, r_x)
+    diff = np.abs(u_x - u_f).max() / np.abs(u_x).max()
+    assert diff < 1e-2, diff
+
+    with pytest.raises(ValueError, match="chebyshev_fused"):
+        MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                       init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                       config=PDEConfig(mg_smoother="chebyshev_fused",
+                                        mg_normal_op="factored"))
+
+
 def test_in_band_solve_stats_and_backward_probe():
     """return_solve_stats=True: the layers' third output carries forward
     FGMRES iters + residuals as ordinary jit outputs (no host callback —
