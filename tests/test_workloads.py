@@ -154,6 +154,43 @@ def test_gl_harness_steps(tmp_path, monkeypatch):
     assert "u_t" in eq
 
 
+def test_gl_stretch_configs_step():
+    """The two GL workload-config corners (VERDICT r2 #8): second equation
+    (first_equation=False, reference ginzburg_landau.py:66-67) and the
+    ResNet transform (nn_transform=True, reference default) both take
+    finite optimization steps on a tiny system."""
+    from mech_nn_discovery_pde_tpu.discovery.ginzburg_landau import (
+        GLConfig,
+        GLDiscovery,
+    )
+    from mech_nn_discovery_pde_tpu.discovery.common import make_update
+    import optax
+
+    class TinyDS:
+        t_step_size = 0.2
+        x_step_size = 0.3906
+        y_step_size = 0.3906
+
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((2, 6, 16, 16)) * 0.3
+    v = rng.standard_normal((2, 6, 16, 16)) * 0.3
+    for opts in (dict(first_equation=False), dict(nn_transform=True)):
+        cfg = GLConfig(
+            solver_dim=(6, 16, 16), n_grid=2, batch_size=2,
+            pde=PDEConfig(precision="f64"),
+            **{"nn_transform": False, **opts},
+        )
+        model = GLDiscovery(cfg, TinyDS())
+        params = model.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-4)
+        update = make_update(model.loss_fn, opt)
+        opt_state = opt.init(params)
+        params, opt_state, loss, aux = update(
+            params, opt_state, jnp.asarray(u), jnp.asarray(v)
+        )
+        assert np.isfinite(float(loss)), opts
+
+
 def test_train_harness_checkpoint_resume(tmp_path):
     """TrainHarness saves at ckpt_every and a fresh harness resumes: params
     and opt_state round-trip and start_epoch advances (SURVEY 5.4)."""
