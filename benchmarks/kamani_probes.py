@@ -54,6 +54,11 @@ PROBES = {
     "torchinit_s0": dict(seed=0, torch_init=True),
     "torchinit_s1": dict(seed=1, torch_init=True),
     "torchinit_s2": dict(seed=2, torch_init=True),
+    # documented-deviation ladder (only if the faithful protocol fails
+    # across init draws): larger lr fights the early L1 pinning of the
+    # sigma_t row (du0/dp1 ~ 1/|p0| shrinks as |p0| grows, CLAUDE.md)
+    "torchinit_lr4x_s0": dict(seed=0, torch_init=True, lr=2e-5),
+    "torchinit_lr4x_s10": dict(seed=10, torch_init=True, lr=2e-5),
 }
 
 
