@@ -38,6 +38,15 @@ VARIANTS = {
     "rst5": dict(mg_fgmres_restarts_forward=5, mg_fgmres_restarts_backward=5),
     "fused": dict(mg_smoother="chebyshev_fused", mg_precond_dtype="bf16"),
     "fusedf32": dict(mg_smoother="chebyshev_fused"),
+    # quality-grounded reduced budget (benchmarks/budget_quality.py, CPU f64:
+    # cheb 7+7 relres@30 = 1.8e-3 vs reference GS 5+5 relres@40 = 3.1e-3 —
+    # still beats the reference's own 40-iteration quality)
+    "b30": dict(mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                mg_fgmres_max_iter_forward=30, mg_fgmres_max_iter_backward=30),
+    "fused_b30": dict(mg_smoother="chebyshev_fused", mg_precond_dtype="bf16",
+                      mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                      mg_fgmres_max_iter_forward=30,
+                      mg_fgmres_max_iter_backward=30),
 }
 
 

@@ -50,6 +50,13 @@ class KamaniConfig:
     # optional cosine decay lr -> lr_end over the full run (basin study)
     lr_end: Optional[float] = None
     param_l1: float = 0.01
+    # L1 warmup (basin study): ramp the L1 weight linearly from 0 to
+    # param_l1 over the first N epochs.  Mechanism-targeted deviation from
+    # the reference recipe: the lazy basin is entered when the constant L1
+    # pressure exceeds the 1/|p0|-squashed data gradient on the p1 row in
+    # the first ~100 epochs (VALIDATION.md round 3); delaying the L1 lets
+    # the data term shape the rows first.  0 = reference behavior.
+    l1_warmup_epochs: int = 0
     epochs: int = 5000
     steps_per_epoch: Optional[int] = None
     seed: int = 10
@@ -130,14 +137,18 @@ class KamaniDiscovery:
         u0, _, stats = self.layer(coeffs, rhs, iv_rhs, list(self.steps))
         return u0.reshape(bs, -1), up, (pr, er), stats
 
-    def loss_fn(self, params, u, shear_d, shear_dd):
+    def loss_fn(self, params, u, shear_d, shear_dd, l1_w=None):
+        """l1_w: optional traced L1 weight (L1-warmup schedule); defaults to
+        the static cfg.param_l1 (reference behavior)."""
         bs = self.cfg.batch_size
         u0, up, (pr, er), stats = self.forward(params, u, shear_d, shear_dd)
         target = u.reshape(bs, -1)
         u_loss = jnp.abs(u0 - target).mean(axis=-1)
         var_loss = jnp.abs(up.reshape(bs, -1) - u0).mean(axis=-1)
         param_loss = jnp.abs(pr).sum()
-        loss = u_loss.mean() + var_loss.mean() + self.cfg.param_l1 * param_loss
+        if l1_w is None:
+            l1_w = self.cfg.param_l1
+        loss = u_loss.mean() + var_loss.mean() + l1_w * param_loss
         aux = {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
         if stats is not None:
             aux["fwd_rel_rnorm"] = stats["rel_rnorm"].max()
@@ -260,12 +271,18 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
     for epoch in range(harness.start_epoch, cfg.epochs):
         losses = []
         aux = {}
+        if cfg.l1_warmup_epochs:
+            frac = min(1.0, epoch / cfg.l1_warmup_epochs)
+        else:
+            frac = 1.0
+        l1_w = jnp.asarray(cfg.param_l1 * frac, dtype=jnp.float64)
         for i, (t, u, s, sd, sdd) in enumerate(loader):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
             with harness.timer.phase("update"):
                 params, opt_state, loss, aux = update(
-                    params, opt_state, jnp.asarray(u), jnp.asarray(sd), jnp.asarray(sdd)
+                    params, opt_state, jnp.asarray(u), jnp.asarray(sd),
+                    jnp.asarray(sdd), l1_w
                 )
                 losses.append(float(loss))
         pr, er = (np.asarray(a) for a in model.get_params(params))

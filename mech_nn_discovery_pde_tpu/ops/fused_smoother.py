@@ -58,23 +58,25 @@ def _emit_stencil_apply(desc: NormalStencilDesc, nt: int, S: int, coef, X):
         for j in range(1, m):
             acc = acc + coef[i * m + j] * X[j]
         ys.append(acc)
-    # axis bands, symmetric
+    # axis bands, symmetric.  Circular rolls instead of sliced updates:
+    # Mosaic lowers neither scatter-add (sliced .add) nor the scatter that
+    # sliced .set falls back to, but static rolls are concatenations of
+    # slices.  Wraparound is exact because the stored band coefficient g is
+    # structurally ZERO wherever the +stride neighbor does not exist (the
+    # same property the production rolled apply uses —
+    # ops/normal_stencil.normal_stencil_matvec).
     for b in desc.bands:
         ci, cj = _band_channels(b)
         g = coef[b.ch]
         if b.coord == 0:
             d = b.stride // S
-            # y[ci, :nt-d] += g[:nt-d] * x[cj, d:]   (and transpose pair)
-            fwd = g[: nt - d] * X[cj][d:]
-            bwd = g[: nt - d] * X[ci][: nt - d]
-            ys[ci] = ys[ci].at[: nt - d].add(fwd)
-            ys[cj] = ys[cj].at[d:].add(bwd)
+            # y[ci] += g * x[cj] shifted by -d in t   (g zero at t >= nt-d)
+            ys[ci] = ys[ci] + g * jnp.roll(X[cj], -d, axis=0)
+            ys[cj] = ys[cj] + jnp.roll(g * X[ci], d, axis=0)
         else:
             s = b.stride  # < S; cross-row wrap has zero coef
-            fwd = g[:, : S - s] * X[cj][:, s:]
-            bwd = g[:, : S - s] * X[ci][:, : S - s]
-            ys[ci] = ys[ci].at[:, : S - s].add(fwd)
-            ys[cj] = ys[cj].at[:, s:].add(bwd)
+            ys[ci] = ys[ci] + g * jnp.roll(X[cj], -s, axis=1)
+            ys[cj] = ys[cj] + jnp.roll(g * X[ci], s, axis=1)
     return jnp.stack(ys)
 
 
@@ -88,8 +90,11 @@ def _emit_block_apply(nt: int, m: int, S: int, binv_t_ref, r, t1_ref):
     bw = nt * m
 
     def body(row, _):
-        ti = row // m
-        mi = row % m
+        # lax.div/rem, not // and %: jnp.floor_divide's sign-correction
+        # lowers a 64-bit convert under x64, which Mosaic rejects
+        # ("64-bit types are not supported"); row >= 0 so they agree.
+        ti = jax.lax.div(row, jnp.int32(m))
+        mi = jax.lax.rem(row, jnp.int32(m))
         brow = binv_t_ref[row].astype(jnp.float32)  # (bw, S)
         acc = brow[0] * r[0, 0]
         for j in range(1, bw):
@@ -97,7 +102,9 @@ def _emit_block_apply(nt: int, m: int, S: int, binv_t_ref, r, t1_ref):
         t1_ref[pl.ds(mi, 1), pl.ds(ti, 1), :] = acc[None, None]
         return 0
 
-    jax.lax.fori_loop(0, bw, body, 0)
+    # int32 bounds: under x64, Python-int bounds make the loop index int64,
+    # which Mosaic cannot lower
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(bw), body, 0)
 
 
 def _fused_chebyshev_kernel(
