@@ -57,6 +57,15 @@ class KamaniConfig:
     # the first ~100 epochs (VALIDATION.md round 3); delaying the L1 lets
     # the data term shape the rows first.  0 = reference behavior.
     l1_warmup_epochs: int = 0
+    # Shear-thinning exponent prior (basin study): shift the exponent
+    # squash to er = 2*tanh(raw + bias).  Mechanism-targeted deviation:
+    # with the p1 row pinned at 0, the exponents receive NO data gradient
+    # (they only enter via pr[i,1:]*|shear|^er) and freeze at their random
+    # init; growing p1 against wrong exponents then raises the loss, so p1
+    # stays pinned (chicken-and-egg).  A negative init bias (e.g. -0.55 ->
+    # er ~= -1.0 at init, matching the true (-1, -0.584) signs) lets the
+    # data term reward growing p1 immediately.  0 = reference behavior.
+    exp_init_bias: float = 0.0
     epochs: int = 5000
     steps_per_epoch: Optional[int] = None
     seed: int = 10
@@ -103,7 +112,8 @@ class KamaniDiscovery:
 
     def get_params(self, params):
         pr = self.param_net.apply(params["pnet"]).reshape(4, 3)
-        er = 2.0 * jnp.tanh(self.param_exp_net.apply(params["enet"])).reshape(4, 2)
+        raw_e = self.param_exp_net.apply(params["enet"]) + self.cfg.exp_init_bias
+        er = 2.0 * jnp.tanh(raw_e).reshape(4, 2)
         # pin the sigma row to fix the coefficient scale (:205-208)
         pr = pr.at[3, 0].set(1.0).at[3, 1].set(0.0).at[3, 2].set(0.0)
         return pr, er
