@@ -115,6 +115,37 @@ def test_kamani_harness_steps(tmp_path, monkeypatch):
     assert np.all(np.abs(np.asarray(er)) <= 2.0)  # exponent range
 
 
+def test_kamani_deviation_knobs():
+    """Basin-escape deviation knobs (documented deviations from the shipped
+    reference protocol, VALIDATION.md round 3): exp_init_bias shifts the
+    exponent-squash so the init respects the shear-thinning sign prior, and
+    the L1 warmup fraction ramps linearly."""
+    from mech_nn_discovery_pde_tpu.discovery.kamani import (
+        KamaniConfig,
+        KamaniDiscovery,
+    )
+
+    class FakeDS:
+        t_step = 0.05
+
+    def er_mean(bias):
+        cfg = KamaniConfig(
+            batch_size=2, pde=PDEConfig(precision="f64"), plot_every=0,
+            exp_init_bias=bias,
+        )
+        m = KamaniDiscovery(cfg, FakeDS())
+        params = m.init(jax.random.PRNGKey(0))
+        _, er = m.get_params(params)
+        return float(er.mean())
+
+    assert abs(er_mean(0.0)) < 0.5  # reference behavior: centered
+    assert er_mean(-0.55) < -0.6  # prior shifts the init negative
+    # warmup schedule values as used by the train loop
+    cfg = KamaniConfig(l1_warmup_epochs=100)
+    fracs = [min(1.0, e / cfg.l1_warmup_epochs) for e in (0, 50, 100, 200)]
+    assert fracs == [0.0, 0.5, 1.0, 1.0]
+
+
 def test_gl_harness_steps(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from mech_nn_discovery_pde_tpu.discovery.ginzburg_landau import (
