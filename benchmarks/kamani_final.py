@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def train_once(name: str, overrides: dict) -> None:
     import jax
 
+    # platform=cpu runs the probe on the host (basin dynamics reproduce on
+    # CPU, VALIDATION.md round 2/3) — used while the axon tunnel is down
+    platform = overrides.pop("platform", None)
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache (same dir as bench.py): the fwd+bwd Kamani
     # graph costs minutes of tunnel AOT compile, and the worker is most
