@@ -61,6 +61,7 @@ def train_once(name: str, overrides: dict) -> None:
     l1 = float(overrides.pop("l1", 0.01))
     l1_warmup = int(overrides.pop("l1_warmup", 0))
     exp_bias = float(overrides.pop("exp_bias", 0.0))
+    exp_freeze = int(overrides.pop("exp_freeze", 0))
     lr_end = overrides.pop("lr_end", None)
     lr_end = float(lr_end) if lr_end is not None else None
     assert not overrides, f"unknown overrides {overrides}"
@@ -71,14 +72,14 @@ def train_once(name: str, overrides: dict) -> None:
         epochs=epochs, seed=seed, lr=lr, net_dtype=net_dtype,
         torch_init=torch_init, plot_every=250, ckpt_every=50,
         resume_from=log_dir, param_l1=l1, l1_warmup_epochs=l1_warmup,
-        lr_end=lr_end, exp_init_bias=exp_bias,
+        lr_end=lr_end, exp_init_bias=exp_bias, exp_freeze_epochs=exp_freeze,
         pde=PDEConfig(precision=precision, log_solves=False,
                       return_solve_stats=stats),
     )
     print(f"=== kamani final {name}: seed={seed} lr={lr} precision={precision} "
           f"net_dtype={net_dtype} torch_init={torch_init} l1={l1} "
-          f"l1_warmup={l1_warmup} lr_end={lr_end} exp_bias={exp_bias} ===",
-          flush=True)
+          f"l1_warmup={l1_warmup} lr_end={lr_end} exp_bias={exp_bias} "
+          f"exp_freeze={exp_freeze} ===", flush=True)
     train(cfg)
 
 

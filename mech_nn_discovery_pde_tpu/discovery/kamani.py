@@ -66,6 +66,12 @@ class KamaniConfig:
     # er ~= -1.0 at init, matching the true (-1, -0.584) signs) lets the
     # data term reward growing p1 immediately.  0 = reference behavior.
     exp_init_bias: float = 0.0
+    # Freeze the exponent net for the first N epochs (basin study): holds
+    # the exponents at their (biased) init while the coefficient rows grow
+    # into the monotone-descent corridor that exists when the exponents are
+    # near truth (benchmarks/kamani_basin_mechanism.py reachability
+    # profile).  0 = reference behavior.
+    exp_freeze_epochs: int = 0
     epochs: int = 5000
     steps_per_epoch: Optional[int] = None
     seed: int = 10
@@ -249,6 +255,25 @@ def true_params():
     return pr, er
 
 
+def build_optimizer(cfg: KamaniConfig, lr, steps_per_epoch: int):
+    """Adam, optionally with the exponent net held frozen for the first
+    cfg.exp_freeze_epochs epochs (zero-lr schedule on the 'enet' subtree)."""
+    if not cfg.exp_freeze_epochs:
+        return optax.adam(lr)
+    enet_lr = optax.join_schedules(
+        [optax.constant_schedule(0.0),
+         lr if callable(lr) else optax.constant_schedule(lr)],
+        [cfg.exp_freeze_epochs * steps_per_epoch],
+    )
+    return optax.multi_transform(
+        {"main": optax.adam(lr), "enet": optax.adam(enet_lr)},
+        param_labels=lambda p: {
+            k: jax.tree.map(lambda _: "enet" if k == "enet" else "main", v)
+            for k, v in p.items()
+        },
+    )
+
+
 def train(cfg: Optional[KamaniConfig] = None, log=None):
     cfg = cfg or KamaniConfig()
     if cfg.resume_from:
@@ -269,7 +294,8 @@ def train(cfg: Optional[KamaniConfig] = None, log=None):
         )
     else:
         lr = cfg.lr
-    optimizer = optax.adam(lr)
+    steps_pe = cfg.steps_per_epoch or (len(ds) // cfg.batch_size)
+    optimizer = build_optimizer(cfg, lr, steps_pe)
     opt_state = optimizer.init(params)
     update = make_update(model.loss_fn, optimizer)
     loader = PatchLoader(ds, cfg.batch_size, seed=cfg.seed)

@@ -145,6 +145,31 @@ def test_kamani_deviation_knobs():
     fracs = [min(1.0, e / cfg.l1_warmup_epochs) for e in (0, 50, 100, 200)]
     assert fracs == [0.0, 0.5, 1.0, 1.0]
 
+    # exp_freeze_epochs: enet is held fixed during the freeze window while
+    # the other nets move, then unfreezes
+    from mech_nn_discovery_pde_tpu.discovery.kamani import build_optimizer
+    import optax
+
+    cfg = KamaniConfig(batch_size=2, exp_freeze_epochs=2)
+    m = KamaniDiscovery(cfg, FakeDS())
+    params = m.init(jax.random.PRNGKey(0))
+    opt = build_optimizer(cfg, cfg.lr, steps_per_epoch=1)
+    st = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for step in range(4):
+        upd, st = opt.update(grads, st, p)
+        p = optax.apply_updates(p, upd)
+        e_moved = any(
+            float(jnp.abs(a - b).max()) > 0
+            for a, b in zip(jax.tree.leaves(p["enet"]),
+                            jax.tree.leaves(params["enet"]))
+        )
+        assert e_moved == (step >= 2), f"step {step}: enet moved={e_moved}"
+    assert float(jnp.abs(
+        jax.tree.leaves(p["pnet"])[0] - jax.tree.leaves(params["pnet"])[0]
+    ).max()) > 0
+
 
 def test_gl_harness_steps(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
