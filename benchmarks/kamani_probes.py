@@ -100,9 +100,13 @@ def run_probe(name: str, overrides: dict, epochs: int = EPOCHS,
 
 
 def report():
+    import glob
+
     rows = []
-    for name in PROBES:
-        log = f"logs/probes/kamani_{name}/log.txt"
+    logs = {name: f"logs/probes/kamani_{name}/log.txt" for name in PROBES}
+    for p in sorted(glob.glob("logs/kamani_final_*/log.txt")):
+        logs[os.path.basename(os.path.dirname(p))] = p
+    for name, log in logs.items():
         if not os.path.exists(log):
             continue
         txt = open(log).read()
