@@ -228,6 +228,28 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # Watchdog: the axon tunnel can be DOWN (hours-long outage observed
+    # 2026-08-17); jax.devices() then blocks forever.  Emit a well-formed
+    # JSON line and exit rather than hanging the driver.
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(600):
+            print(json.dumps({
+                "metric": "gl_multigrid_kkt_fwd_bwd_solves_per_sec",
+                "value": 0.0,
+                "unit": "KKT solves/sec (bs=32, (8,32,32) n_grid=3)",
+                "vs_baseline": 0.0,
+                "extras": {"error": "TPU backend unreachable within 600 s"},
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.block_until_ready(jnp.ones(()) + 1)  # first backend contact
+    ready.set()
+
     gl_solves_per_sec, gl_step, gl_spread, roofline = _bench_gl(jax, jnp, np)
     dense_solves_per_sec = _bench_dense(jax, jnp, np)
 
