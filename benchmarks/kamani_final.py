@@ -62,6 +62,8 @@ def train_once(name: str, overrides: dict) -> None:
     l1_warmup = int(overrides.pop("l1_warmup", 0))
     exp_bias = float(overrides.pop("exp_bias", 0.0))
     exp_freeze = int(overrides.pop("exp_freeze", 0))
+    pnet_zero = overrides.pop("pnet_zero", "0") == "1"
+    pnet_scale = float(overrides.pop("pnet_scale", 1.0))
     lr_end = overrides.pop("lr_end", None)
     lr_end = float(lr_end) if lr_end is not None else None
     assert not overrides, f"unknown overrides {overrides}"
@@ -73,13 +75,15 @@ def train_once(name: str, overrides: dict) -> None:
         torch_init=torch_init, plot_every=250, ckpt_every=50,
         resume_from=log_dir, param_l1=l1, l1_warmup_epochs=l1_warmup,
         lr_end=lr_end, exp_init_bias=exp_bias, exp_freeze_epochs=exp_freeze,
+        pnet_zero_init=pnet_zero, pnet_out_scale=pnet_scale,
         pde=PDEConfig(precision=precision, log_solves=False,
                       return_solve_stats=stats),
     )
     print(f"=== kamani final {name}: seed={seed} lr={lr} precision={precision} "
           f"net_dtype={net_dtype} torch_init={torch_init} l1={l1} "
           f"l1_warmup={l1_warmup} lr_end={lr_end} exp_bias={exp_bias} "
-          f"exp_freeze={exp_freeze} ===", flush=True)
+          f"exp_freeze={exp_freeze} pnet_zero={pnet_zero} "
+          f"pnet_scale={pnet_scale} ===", flush=True)
     train(cfg)
 
 

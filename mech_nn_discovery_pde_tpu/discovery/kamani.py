@@ -72,6 +72,12 @@ class KamaniConfig:
     # near truth (benchmarks/kamani_basin_mechanism.py reachability
     # profile).  0 = reference behavior.
     exp_freeze_epochs: int = 0
+    # Coefficient-head deviations (basin study): start the coefficient rows
+    # at exactly 0 — the entrance of the monotone-descent corridor — and/or
+    # scale the head output so O(1) net movement reaches the O(100) true
+    # rows within the epoch budget.  Defaults = reference behavior.
+    pnet_zero_init: bool = False
+    pnet_out_scale: float = 1.0
     epochs: int = 5000
     steps_per_epoch: Optional[int] = None
     seed: int = 10
@@ -101,7 +107,10 @@ class KamaniDiscovery:
         )
         nd = jnp.float64 if cfg.net_dtype == "f64" else jnp.float32
         nkw = dict(param_dtype=nd, torch_init=cfg.torch_init)
-        self.param_net = ParamNet(n_out=4 * 3, depth=2, **nkw)
+        self.param_net = ParamNet(
+            n_out=4 * 3, depth=2, zero_out_init=cfg.pnet_zero_init,
+            out_scale=cfg.pnet_out_scale, **nkw,
+        )
         self.param_exp_net = ParamNet(n_out=4 * 2, depth=2, **nkw)
         self.transform = ResNet1D(out_channels=1, in_channels=1, **nkw)
         self.net_dtype = nd

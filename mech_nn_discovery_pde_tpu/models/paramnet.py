@@ -39,6 +39,15 @@ class ParamNet(nn.Module):
     depth: int = 2
     param_dtype: Any = jnp.float32
     torch_init: bool = False
+    # zero_out_init starts the output head at exactly 0 (coefficients begin
+    # at the origin — the entrance of the monotone-descent corridor found by
+    # benchmarks/kamani_basin_mechanism.py); out_scale multiplies the head
+    # output so O(1) net movement can reach O(out_scale) coefficients
+    # (Kamani's true rows are O(100) while Adam moves outputs O(lr)/step).
+    # Both are documented deviations from the reference init (kamani.py
+    # :171-184); defaults preserve reference behavior.
+    zero_out_init: bool = False
+    out_scale: float = 1.0
 
     @nn.compact
     def __call__(self):
@@ -55,4 +64,8 @@ class ParamNet(nn.Module):
         if self.torch_init:
             k, b = torch_linear_inits(x.shape[-1])
             kw = dict(kernel_init=k, bias_init=b)
-        return nn.Dense(self.n_out, param_dtype=self.param_dtype, **kw)(x)
+        if self.zero_out_init:
+            kw = dict(kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros)
+        out = nn.Dense(self.n_out, param_dtype=self.param_dtype, **kw)(x)
+        return self.out_scale * out

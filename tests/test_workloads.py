@@ -145,6 +145,16 @@ def test_kamani_deviation_knobs():
     fracs = [min(1.0, e / cfg.l1_warmup_epochs) for e in (0, 50, 100, 200)]
     assert fracs == [0.0, 0.5, 1.0, 1.0]
 
+    # pnet_zero_init starts all unpinned coefficient rows at exactly 0;
+    # pnet_out_scale multiplies the head output
+    cfg = KamaniConfig(batch_size=2, pde=PDEConfig(precision="f64"),
+                       plot_every=0, pnet_zero_init=True, pnet_out_scale=10.0)
+    m = KamaniDiscovery(cfg, FakeDS())
+    params = m.init(jax.random.PRNGKey(0))
+    pr, _ = m.get_params(params)
+    assert float(jnp.abs(pr[:3]).max()) == 0.0
+    assert float(pr[3, 0]) == 1.0
+
     # exp_freeze_epochs: enet is held fixed during the freeze window while
     # the other nets move, then unfreezes
     from mech_nn_discovery_pde_tpu.discovery.kamani import build_optimizer
