@@ -66,13 +66,14 @@ def train_once(name: str, overrides: dict) -> None:
     pnet_scale = float(overrides.pop("pnet_scale", 1.0))
     lr_end = overrides.pop("lr_end", None)
     lr_end = float(lr_end) if lr_end is not None else None
+    plot_every = int(overrides.pop("plot_every", 250))
     assert not overrides, f"unknown overrides {overrides}"
 
     log_dir = f"logs/kamani_final_{name}"
     os.makedirs(log_dir, exist_ok=True)
     cfg = KamaniConfig(
         epochs=epochs, seed=seed, lr=lr, net_dtype=net_dtype,
-        torch_init=torch_init, plot_every=250, ckpt_every=50,
+        torch_init=torch_init, plot_every=plot_every, ckpt_every=50,
         resume_from=log_dir, param_l1=l1, l1_warmup_epochs=l1_warmup,
         lr_end=lr_end, exp_init_bias=exp_bias, exp_freeze_epochs=exp_freeze,
         pnet_zero_init=pnet_zero, pnet_out_scale=pnet_scale,

@@ -193,6 +193,38 @@ def learned_rhs(t, tau, amplitude, frequency, pr, er):
     return (p[1] * sr + p[2] * srr - p[3] * tau) / p[0]
 
 
+def _budgeted(fn, budget=200_000):
+    """Wrap an ODE rhs so integration cannot grind unboundedly: a learned
+    model with |p0| ~ 0 (e.g. a zero-init coefficient head early in
+    training) makes learned_rhs enormous and solve_ivp's step size
+    collapse — an unguarded eval can hang an unattended probe queue."""
+    n = [0]
+
+    def wrapped(t, y, *args):
+        n[0] += 1
+        if n[0] > budget:
+            raise RuntimeError("ODE-integration call budget exceeded")
+        return fn(t, y, *args)
+
+    return wrapped
+
+
+def _integrate_learned(t_max, t_eval, a, freq, pr, er):
+    """solve_ivp on the learned ODE with a call budget; returns the
+    trajectory array of shape (len(t_eval),) or None on failure."""
+    from scipy.integrate import solve_ivp
+
+    try:
+        with np.errstate(all="ignore"):
+            sol = solve_ivp(_budgeted(learned_rhs), [0, t_max], [0.0],
+                            t_eval=t_eval, args=(a, freq, pr, er))
+    except (RuntimeError, FloatingPointError, ValueError):
+        return None
+    if sol.y.shape[1] != len(t_eval) or not np.all(np.isfinite(sol.y[0])):
+        return None
+    return sol.y[0]
+
+
 def simulate_overlay(epoch, pr, er, log_dir, amplitudes=(0.5, 1, 5, 10, 11, 12)):
     """Roll out learned vs true ODE and save Lissajous overlays."""
     from scipy.integrate import solve_ivp
@@ -207,14 +239,12 @@ def simulate_overlay(epoch, pr, er, log_dir, amplitudes=(0.5, 1, 5, 10, 11, 12))
     fig, ax = plt.subplots(1, 2, figsize=(14, 7))
     for a in amplitudes:
         true = solve_ivp(kamani_rhs, [0, t_max], [0.0], t_eval=t_eval, args=(a, freq))
-        learned = solve_ivp(
-            learned_rhs, [0, t_max], [0.0], t_eval=t_eval, args=(a, freq, pr, er)
-        )
+        learned = _integrate_learned(t_max, t_eval, a, freq, pr, er)
         strain = a * np.sin(freq * t_eval)
         if true.y.shape[1] == len(t_eval):
             ax[0].plot(strain, true.y[0], label=f"$\\gamma_0$={a} true")
-        if learned.y.shape[1] == len(t_eval):
-            ax[1].plot(strain, learned.y[0], label=f"$\\gamma_0$={a} learned")
+        if learned is not None:
+            ax[1].plot(strain, learned, label=f"$\\gamma_0$={a} learned")
     for a_, title in zip(ax, ["True equation", "Learned equation"]):
         a_.set_xlabel("Strain")
         a_.set_ylabel("Stress [Pa]")
@@ -240,13 +270,12 @@ def closed_loop_error(pr, er, amplitudes=(0.5, 1, 5, 10, 11, 12)):
     for a in amplitudes:
         true = solve_ivp(kamani_rhs, [0, t_max], [0.0], t_eval=t_eval,
                          args=(a, freq))
-        learned = solve_ivp(learned_rhs, [0, t_max], [0.0], t_eval=t_eval,
-                            args=(a, freq, pr, er))
-        if true.y.shape[1] != len(t_eval) or learned.y.shape[1] != len(t_eval):
+        learned = _integrate_learned(t_max, t_eval, a, freq, pr, er)
+        if true.y.shape[1] != len(t_eval) or learned is None:
             errs[a] = float("inf")
             continue
         denom = float(np.linalg.norm(true.y[0])) or 1.0
-        errs[a] = float(np.linalg.norm(learned.y[0] - true.y[0]) / denom)
+        errs[a] = float(np.linalg.norm(learned - true.y[0]) / denom)
     return errs
 
 

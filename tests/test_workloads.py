@@ -72,6 +72,26 @@ def test_kamani_closed_loop_error_metric():
     assert min(errs2.values()) > 0.2, errs2
 
 
+def test_kamani_closed_loop_degenerate_guard():
+    """A learned model with p0 ~ 0 (zero-init coefficient head early in
+    training) makes learned_rhs ~ 1/0; the eval must score it inf QUICKLY
+    (call-budgeted integration) instead of grinding solve_ivp forever and
+    hanging an unattended probe queue."""
+    import time
+
+    from mech_nn_discovery_pde_tpu.discovery.kamani import (
+        closed_loop_error, true_params,
+    )
+
+    pr, er = true_params()
+    pr0 = pr.copy()
+    pr0[0] = [1e-9, 0.0, 0.0]  # degenerate: dividing row effectively zero
+    t0 = time.time()
+    errs = closed_loop_error(pr0, er, amplitudes=(1, 10))
+    assert time.time() - t0 < 120.0
+    assert all(e == float("inf") or e > 1.0 for e in errs.values()), errs
+
+
 def test_kamani_harness_steps(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from mech_nn_discovery_pde_tpu.discovery.kamani import (
