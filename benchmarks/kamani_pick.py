@@ -1,20 +1,30 @@
 import sys; sys.path.insert(0, ".")  # noqa: E402
-"""Rank Kamani basin-escape probe runs by the reference's own closed-loop
-criterion and print the winning configuration's kamani_final.py overrides.
+"""Rank Kamani basin-escape probe runs and print the winning
+configuration's kamani_final.py overrides.
 
-Each probe run (benchmarks/kamani_final.py) logs
+Each probe run (benchmarks/kamani_final.py) logs every epoch the learned
+param matrix, and every plot_every epochs
     closed-loop traj rel err: a=0.5: X, a=1: Y, ...
-every plot_every epochs (discovery/kamani.py:train).  This script parses the
-LAST such line from each run's log.txt, scores by the mean relative
-trajectory error across the amplitude sweep (reference discovery/kamani.py
-:352-455 Lissajous overlays), and emits the winner's override string on
-stdout (everything else goes to stderr) so a shell queue can do:
+(discovery/kamani.py:train).  Scoring is two-stage because the closed-loop
+error at a FIXED small epoch count is not monotone in eventual success: a
+lazy-basin endpoint scores a finite ~0.2 while a mid-escape run (p1 row
+halfway from 0 to the true 94) can transiently score worse.
+
+  stage 1: if any run's mean closed-loop error beats GOOD_ERR (clearly
+           better than the lazy basin's ~0.2), pick the minimum.
+  stage 2: otherwise pick the run whose p1 row (the sigma_t-equation
+           coefficient row, true value (0, 94, 27.93)) has grown farthest
+           from the lazy pin at 0 — the escape signature identified by the
+           round-3 basin study (VALIDATION.md).
+
+Winner's override string goes to stdout (everything else to stderr) so a
+shell queue can do:
 
     FULL=$(python benchmarks/kamani_pick.py p_expb_lr4x p_corridor ...)
     python benchmarks/kamani_final.py full $FULL epochs=5000
 
-A run with no closed-loop line yet (crashed early, still compiling) is
-scored inf and reported as such.
+A run with no usable log is scored (inf, 0) and can never win unless all
+are unusable, in which case the plain exp-bias rung is the fallback.
 """
 
 import os
@@ -27,53 +37,67 @@ PROBES = {
     "p_corridor": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100",
     "p_corridor30": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=30",
     "p_l1w": "seed=10 l1_warmup=150",
-    # CPU control of the plain exp-bias rung (round-3 outage probe)
+    # CPU controls (round-3 outage probes)
     "cpu_expb_s10": "seed=10 exp_bias=-0.55",
     "cpu_combo_s10": "seed=10 exp_bias=-0.55 exp_freeze=100 lr=2e-5",
+    "cpu_corridor_s10": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100",
 }
 
-LINE = re.compile(r"closed-loop traj rel err: (.*)")
-PAIR = re.compile(r"a=([\d.]+): ([\d.eE+-]+|nan|inf)")
+GOOD_ERR = 0.12  # clearly better than the lazy basin's ~0.2 plateau
+
+CL_LINE = re.compile(r"closed-loop traj rel err: (.*)")
+CL_PAIR = re.compile(r"a=([\d.]+): ([\d.eE+-]+|nan|inf)")
+PARAM = re.compile(r"(?<!True )param \[\[(.*?)\]\]", re.S)
+NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 
-def score_run(name: str):
+def scan_run(name: str):
+    """-> (mean closed-loop err, p1-row escape magnitude, detail str)."""
     path = os.path.join("logs", f"kamani_final_{name}", "log.txt")
     if not os.path.exists(path):
-        return float("inf"), "no log"
-    last = None
-    with open(path) as f:
-        for line in f:
-            m = LINE.search(line)
-            if m:
-                last = m.group(1)
-    if last is None:
-        return float("inf"), "no closed-loop line"
-    errs = [float(v) for _, v in PAIR.findall(last)]
-    if not errs:
-        return float("inf"), f"unparseable: {last!r}"
-    mean = sum(errs) / len(errs)
-    return mean, last.strip()
+        return float("inf"), 0.0, "no log"
+    txt = open(path).read()
+    last_cl = None
+    for m in CL_LINE.finditer(txt):
+        last_cl = m.group(1)
+    err = float("inf")
+    if last_cl:
+        vals = [float(v) for _, v in CL_PAIR.findall(last_cl)]
+        if vals:
+            err = sum(vals) / len(vals)
+    escape = 0.0
+    params = PARAM.findall(txt)
+    if params:
+        nums = [float(x) for x in NUM.findall(params[-1])]
+        if len(nums) >= 12:
+            # p1 row = entries 3..5; true (0, 94, 27.93) — escape magnitude
+            # is how far the two lazily-pinned columns have grown
+            escape = abs(nums[4]) + abs(nums[5])
+    detail = f"cl={last_cl.strip() if last_cl else 'none'} escape={escape:.3f}"
+    return err, escape, detail
 
 
 def main():
     names = sys.argv[1:] or list(PROBES)
-    scored = []
+    rows = []
     for n in names:
-        s, detail = score_run(n)
-        scored.append((s, n, detail))
-        print(f"[pick] {n}: mean closed-loop err {s:.4f}  ({detail})",
+        if n not in PROBES:
+            print(f"[pick] {n}: unknown probe name, skipping", file=sys.stderr)
+            continue
+        err, escape, detail = scan_run(n)
+        rows.append((err, escape, n))
+        print(f"[pick] {n}: mean closed-loop err {err:.4f}  {detail}",
               file=sys.stderr)
-    scored.sort()
-    scored = [s for s in scored if s[1] in PROBES] or scored
-    best_score, best, _ = scored[0]
-    if best_score == float("inf") or best not in PROBES:
-        # nothing usable — fall back to the plain exp-bias rung (the
-        # longest-horizon candidate with demonstrated p1-row escape)
-        print("[pick] no probe has a closed-loop score; falling back to "
-              "p_expb overrides", file=sys.stderr)
-        best = "p_expb"
-    print(f"[pick] winner: {best} (mean err {best_score:.4f})",
-          file=sys.stderr)
+    good = [r for r in rows if r[0] < GOOD_ERR]
+    if good:
+        best = min(good)[2]
+        why = f"closed-loop err {min(good)[0]:.4f} < {GOOD_ERR}"
+    elif rows and max(r[1] for r in rows) > 0:
+        best = max(rows, key=lambda r: r[1])[2]
+        why = f"largest p1-row escape {max(r[1] for r in rows):.3f}"
+    else:
+        best, why = "p_expb", "no usable probe; exp-bias fallback"
+    print(f"[pick] winner: {best} ({why})", file=sys.stderr)
     print(PROBES[best])
 
 
