@@ -19,9 +19,10 @@ Kernel layout: vectors are (m, nt, S) channel-major views of the flat
 Band MACs use the structural-zero wraparound property of the assembled
 stencil (see ops/normal_stencil.normal_stencil_matvec): a spatial-coord
 band's flat slice may cross t-rows only where its coefficient is zero, so
-per-row shifted slices are exact.  The line-block Jacobi apply runs as a
-fori_loop over the bw = nt*m block rows with the inverse stored
-transposed as (bw, bw, S) so each MAC is a lane-parallel vector op.
+per-row shifted slices are exact.  The line-block Jacobi apply is fully
+static: unrolled over the bw = nt*m block columns with the inverse stored
+column-major as (bw, m, nt, S), so each term is one whole-tensor
+lane-parallel MAC (no dynamic indexing, no scratch).
 
 Batching: pallas_call under vmap does not compile through the axon tunnel
 (CLAUDE.md), so the public entry is a jax.custom_batching.custom_vmap that
@@ -80,31 +81,21 @@ def _emit_stencil_apply(desc: NormalStencilDesc, nt: int, S: int, coef, X):
     return jnp.stack(ys)
 
 
-def _emit_block_apply(nt: int, m: int, S: int, binv_t_ref, r, t1_ref):
-    """t1 = B^{-1} r (time-line block Jacobi) via fori over block rows.
+def _emit_block_apply(nt: int, m: int, S: int, winv_ref, r):
+    """t1 = B^{-1} r (time-line block Jacobi), fully static.
 
-    binv_t_ref: (bw, bw, S) ref (possibly bf16), r: (m, nt, S) value,
-    t1_ref: (m, nt, S) scratch ref receiving the result."""
-    import jax.experimental.pallas as pl
-
+    winv_ref: (bw, m, nt, S) ref (possibly bf16) holding the block inverse
+    COLUMN-major — winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j]; r: (m, nt, S)
+    value.  Unrolled over the bw = nt*m block columns, each term one
+    whole-tensor MAC with a lane-broadcast row of r.  This form uses no
+    dynamic indexing and no scratch (the previous fori + dynamic-sublane
+    store form is the construct server-side Mosaic compiles are most likely
+    to reject, and it issued ~bw x more, narrower vector ops)."""
     bw = nt * m
-
-    def body(row, _):
-        # lax.div/rem, not // and %: jnp.floor_divide's sign-correction
-        # lowers a 64-bit convert under x64, which Mosaic rejects
-        # ("64-bit types are not supported"); row >= 0 so they agree.
-        ti = jax.lax.div(row, jnp.int32(m))
-        mi = jax.lax.rem(row, jnp.int32(m))
-        brow = binv_t_ref[row].astype(jnp.float32)  # (bw, S)
-        acc = brow[0] * r[0, 0]
-        for j in range(1, bw):
-            acc = acc + brow[j] * r[j % m, j // m]
-        t1_ref[pl.ds(mi, 1), pl.ds(ti, 1), :] = acc[None, None]
-        return 0
-
-    # int32 bounds: under x64, Python-int bounds make the loop index int64,
-    # which Mosaic cannot lower
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(bw), body, 0)
+    acc = winv_ref[0].astype(jnp.float32) * r[0, 0]
+    for j in range(1, bw):
+        acc = acc + winv_ref[j].astype(jnp.float32) * r[j % m, j // m]
+    return acc
 
 
 def _fused_chebyshev_kernel(
@@ -120,7 +111,6 @@ def _fused_chebyshev_kernel(
     x0_ref,
     lmax_ref,
     out_ref,
-    t1_ref,
 ):
     """One sample, `steps` Chebyshev iterations, everything VMEM-resident.
 
@@ -142,14 +132,13 @@ def _fused_chebyshev_kernel(
     else:
         x = x0_ref[...]
         r = b - _emit_stencil_apply(desc, nt, S, coef, x)
-    _emit_block_apply(nt, m, S, binv_t_ref, r, t1_ref)
-    d = t1_ref[...] / theta
+    d = _emit_block_apply(nt, m, S, binv_t_ref, r) / theta
     for _ in range(steps):
         x = x + d
         r = r - _emit_stencil_apply(desc, nt, S, coef, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
-        _emit_block_apply(nt, m, S, binv_t_ref, r, t1_ref)
-        d = rho_new * rho * d + (2.0 * rho_new / delta) * t1_ref[...]
+        t1 = _emit_block_apply(nt, m, S, binv_t_ref, r)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * t1
         rho = rho_new
     out_ref[...] = x
 
@@ -166,7 +155,6 @@ def _fused_single(desc, nt, S, steps, ratio, x0_zero, interpret,
         out_shape=jax.ShapeDtypeStruct((m, nt, S), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((m, nt, S), jnp.float32)],
         interpret=interpret,
     )(coef3, binv_t, B, X0, lmax11)
 
@@ -181,7 +169,8 @@ def make_fused_smoother(
 ):
     """Returns smooth(coef, binv_t, b, x0, lmax) -> x for ONE sample.
 
-    coef: (NC, N) stored dtype; binv_t: (bw, bw, S) stored dtype;
+    coef: (NC, N) stored dtype; binv_t: (bw, m, nt, S) stored dtype
+    (column-major block inverse, see _emit_block_apply);
     b, x0: flat (N*m,) f32; lmax: scalar f32.  Batched calls lower to
     lax.map over samples (vmap of pallas_call fails through the axon
     tunnel; single-sample whole-array kernels compile)."""

@@ -332,11 +332,17 @@ class MultigridSolver:
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
         # storage cast AFTER f32 assembly/factorization (mg_precond_dtype).
-        # Fused-smoother levels store the inverse TRANSPOSED as
-        # (bw, bw, n_lines) so every kernel MAC is lane-parallel over the
-        # spatial lines (ops/fused_smoother._emit_block_apply).
+        # Fused-smoother levels store the inverse COLUMN-major as
+        # (bw, n_mi, nt, n_lines) — winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j]
+        # — so the kernel's block apply is a static unroll of whole-tensor
+        # lane-parallel MACs (ops/fused_smoother._emit_block_apply).
         if self._fused_lvl[k]:
-            binv = jnp.transpose(binv, (0, 2, 3, 1))
+            nt = self.dim_list[k][0]
+            n_mi = self.systems[k].var_set.n_mi
+            bw = nt * n_mi
+            b2 = jnp.transpose(binv, (0, 3, 2, 1))  # (bs, j, i, n_lines)
+            b2 = b2.reshape(b2.shape[0], bw, nt, n_mi, -1)  # i -> (ti, mi)
+            binv = jnp.transpose(b2, (0, 1, 3, 2, 4))  # (bs, j, mi, ti, n)
         lvl = {"values": v32, "sv": sv, "binv": binv.astype(self.vdtype)}
         if self.config.mg_normal_op in ("stencil", "stencil_pallas"):
             _, build, _ = self._nstencil[k]
@@ -375,12 +381,15 @@ class MultigridSolver:
         time-lines (all (t, mi) unknowns of one spatial column; the
         TPU-parallel analogue of Gauss-Seidel's time-directional sweep) or
         single grid points, per config.mg_block_smoother.  `transposed`
-        marks the fused-smoother (bw, bw, n_lines) storage layout."""
+        marks the fused-smoother (bw, n_mi, nt, n_lines) column-major
+        storage layout (winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j])."""
         if self.config.mg_block_smoother == "line":
             rb = sysk.line_vec_to_blocks(r, axis=0)
             if transposed:
-                z = jnp.einsum("ijn,nj->ni", binv, rb,
+                # out[n, i=ti*m+mi] = sum_j winv[j, mi, ti, n] rb[n, j]
+                z = jnp.einsum("jmtn,nj->ntm", binv, rb,
                                precision=jax.lax.Precision.HIGHEST)
+                z = z.reshape(z.shape[0], -1)
             else:
                 z = jnp.einsum("nij,nj->ni", binv, rb,
                                precision=jax.lax.Precision.HIGHEST)

@@ -353,7 +353,12 @@ def test_fused_smoother_matches_xla_smoother():
     b = jnp.asarray(rng.standard_normal(mgs.systems[0].num_vars), jnp.float32)
     x0 = jnp.asarray(rng.standard_normal(b.shape[0]), jnp.float32)
     desc = mgs._nstencil[0][0]
-    binv_t = jnp.transpose(lvl["binv"], (1, 2, 0))
+    # fused-smoother column-major layout (bw, m, nt, n_lines):
+    # winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j]
+    nt, m = dims[0], desc.n_mi
+    binv_t = jnp.transpose(lvl["binv"], (2, 1, 0))  # (j, i, n_lines)
+    binv_t = binv_t.reshape(binv_t.shape[0], nt, m, -1)  # i -> (ti, mi)
+    binv_t = jnp.transpose(binv_t, (0, 2, 1, 3))  # (j, mi, ti, n)
     for steps_n, x0_zero, x_init in [(4, True, jnp.zeros_like(b)),
                                      (3, False, x0)]:
         ref = mgs._smooth(0, lvl, b, x_init, steps_n, False)
