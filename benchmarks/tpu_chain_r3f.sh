@@ -42,8 +42,10 @@ done
 echo "[chainF] tunnel is up at $(date)"
 pause_cpu_probes STOP
 
-echo "[chainF] === 1. GL step decomposition (b30 fused_b30 fused) ==="
-timeout 7200 python benchmarks/gl_step_decomp.py b30 fused_b30 fused
+echo "[chainF] === 1. GL step decomposition (base b30 fused_b30 fused) ==="
+# base is re-measured in the SAME session: tunnel timing drift between
+# sessions reached 65% (VALIDATION.md), so cross-session A/B is invalid
+timeout 9000 python benchmarks/gl_step_decomp.py base b30 fused_b30 fused
 
 echo "[chainF] === 2. Kamani probe battery (300 epochs each) ==="
 # p_expb first: it shares its compiled graph with the full run fallback
@@ -65,14 +67,14 @@ echo "[chainF] full-run overrides: $FULL"
 # shellcheck disable=SC2086  # intentional word-splitting of overrides
 timeout 28800 python benchmarks/kamani_final.py full $FULL epochs=5000
 
-echo "[chainF] === 4a. GL second-equation run (150 epochs) ==="
+echo "[chainF] === 4. bench.py (current defaults; also warms the driver's compile cache) ==="
+timeout 7200 python bench.py
+
+echo "[chainF] === 5a. GL second-equation run (150 epochs) ==="
 timeout 10800 python benchmarks/gl_stretch.py veq 150
 
-echo "[chainF] === 4b. GL ResNet-transform run (150 epochs) ==="
+echo "[chainF] === 5b. GL ResNet-transform run (150 epochs) ==="
 timeout 10800 python benchmarks/gl_stretch.py nnt 150
-
-echo "[chainF] === 5. bench.py (current defaults) ==="
-timeout 7200 python bench.py
 
 pause_cpu_probes CONT
 echo "[chainF] DONE at $(date)"
