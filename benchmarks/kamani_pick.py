@@ -36,11 +36,19 @@ PROBES = {
     "p_expb_lr4x": "seed=10 exp_bias=-0.55 lr=2e-5",
     "p_corridor": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100",
     "p_corridor30": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=30",
+    # corridor + exponent freeze: the CPU corridor probe showed the exp net
+    # overshooting to the tanh saturation bound (-1.94 vs true -1) during
+    # the violent early row-growth phase; freezing the exponents at the
+    # biased init until the rows reach scale keeps them interior
+    "p_corridor_f50": ("seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100 "
+                       "exp_freeze=50"),
     "p_l1w": "seed=10 l1_warmup=150",
     # CPU controls (round-3 outage probes)
     "cpu_expb_s10": "seed=10 exp_bias=-0.55",
     "cpu_combo_s10": "seed=10 exp_bias=-0.55 exp_freeze=100 lr=2e-5",
     "cpu_corridor_s10": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100",
+    "cpu_corridor_f50_s10": ("seed=10 exp_bias=-0.55 pnet_zero=1 "
+                             "pnet_scale=100 exp_freeze=50"),
 }
 
 GOOD_ERR = 0.12  # clearly better than the lazy basin's ~0.2 plateau

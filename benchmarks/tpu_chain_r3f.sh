@@ -57,12 +57,16 @@ timeout 5400 python benchmarks/kamani_final.py p_corridor seed=10 \
   exp_bias=-0.55 pnet_zero=1 pnet_scale=100 epochs=300 plot_every=100
 timeout 5400 python benchmarks/kamani_final.py p_corridor30 seed=10 \
   exp_bias=-0.55 pnet_zero=1 pnet_scale=30 epochs=300 plot_every=100
+timeout 5400 python benchmarks/kamani_final.py p_corridor_f50 seed=10 \
+  exp_bias=-0.55 pnet_zero=1 pnet_scale=100 exp_freeze=50 \
+  epochs=300 plot_every=100
 timeout 5400 python benchmarks/kamani_final.py p_l1w seed=10 \
   l1_warmup=150 epochs=300 plot_every=100
 
 echo "[chainF] === 3. Auto-pick winner -> full 5000-epoch run ==="
 FULL=$(python benchmarks/kamani_pick.py p_expb p_expb_lr4x p_corridor \
-  p_corridor30 p_l1w cpu_expb_s10 cpu_combo_s10)
+  p_corridor30 p_corridor_f50 p_l1w cpu_expb_s10 cpu_combo_s10 \
+  cpu_corridor_s10 cpu_corridor_f50_s10)
 echo "[chainF] full-run overrides: $FULL"
 # shellcheck disable=SC2086  # intentional word-splitting of overrides
 timeout 28800 python benchmarks/kamani_final.py full $FULL epochs=5000
