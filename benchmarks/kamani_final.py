@@ -62,6 +62,8 @@ def train_once(name: str, overrides: dict) -> None:
     l1_warmup = int(overrides.pop("l1_warmup", 0))
     exp_bias = float(overrides.pop("exp_bias", 0.0))
     exp_freeze = int(overrides.pop("exp_freeze", 0))
+    exp_lr_scale = float(overrides.pop("exp_lr_scale", 1.0))
+    exp_l2 = float(overrides.pop("exp_l2", 0.0))
     pnet_zero = overrides.pop("pnet_zero", "0") == "1"
     pnet_scale = float(overrides.pop("pnet_scale", 1.0))
     lr_end = overrides.pop("lr_end", None)
@@ -76,6 +78,7 @@ def train_once(name: str, overrides: dict) -> None:
         torch_init=torch_init, plot_every=plot_every, ckpt_every=50,
         resume_from=log_dir, param_l1=l1, l1_warmup_epochs=l1_warmup,
         lr_end=lr_end, exp_init_bias=exp_bias, exp_freeze_epochs=exp_freeze,
+        exp_lr_scale=exp_lr_scale, exp_l2=exp_l2,
         pnet_zero_init=pnet_zero, pnet_out_scale=pnet_scale,
         pde=PDEConfig(precision=precision, log_solves=False,
                       return_solve_stats=stats),
@@ -83,7 +86,8 @@ def train_once(name: str, overrides: dict) -> None:
     print(f"=== kamani final {name}: seed={seed} lr={lr} precision={precision} "
           f"net_dtype={net_dtype} torch_init={torch_init} l1={l1} "
           f"l1_warmup={l1_warmup} lr_end={lr_end} exp_bias={exp_bias} "
-          f"exp_freeze={exp_freeze} pnet_zero={pnet_zero} "
+          f"exp_freeze={exp_freeze} exp_lr_scale={exp_lr_scale} "
+          f"exp_l2={exp_l2} pnet_zero={pnet_zero} "
           f"pnet_scale={pnet_scale} ===", flush=True)
     train(cfg)
 

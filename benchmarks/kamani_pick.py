@@ -49,6 +49,17 @@ PROBES = {
     "cpu_corridor_s10": "seed=10 exp_bias=-0.55 pnet_zero=1 pnet_scale=100",
     "cpu_corridor_f50_s10": ("seed=10 exp_bias=-0.55 pnet_zero=1 "
                              "pnet_scale=100 exp_freeze=50"),
+    # anti-saturation rungs (round 3, late): keep the exponents near the
+    # biased near-true init while the corridor drives the row growth
+    "cpu_corridor_elr_s10": ("seed=10 exp_bias=-0.55 pnet_zero=1 "
+                             "pnet_scale=100 exp_lr_scale=0.05"),
+    "cpu_corridor_tether_s10": ("seed=10 exp_bias=-0.55 pnet_zero=1 "
+                                "pnet_scale=100 exp_l2=0.03"),
+    # rescue probe: the corridor checkpoint (epoch ~200, exps saturated at
+    # -1.98) resumed WITH the tether — if it wins, a fresh full run uses
+    # the same corridor+tether overrides from epoch 0
+    "cpu_corridor_rescue_s10": ("seed=10 exp_bias=-0.55 pnet_zero=1 "
+                                "pnet_scale=100 exp_l2=0.03"),
 }
 
 GOOD_ERR = 0.12  # clearly better than the lazy basin's ~0.2 plateau

@@ -19,7 +19,7 @@ cd "$(dirname "$0")/.."
 
 # Single-core host: pause the CPU Kamani probes while TPU jobs need the
 # host for dispatch.  Signal only if the pid is still a kamani_final run.
-CPU_PROBE_PIDS="18378 18781 21516 23391"
+CPU_PROBE_PIDS="18378 18781 21516 23391 26237"
 pause_cpu_probes() {
   for pid in $CPU_PROBE_PIDS; do
     if grep -aq kamani_final "/proc/$pid/cmdline" 2>/dev/null; then
@@ -46,7 +46,7 @@ timeout 5400 python bench.py
 
 echo "[chainG] === 3. Kamani pick (CPU probe evidence) -> full 5000-epoch run ==="
 FULL=$(python benchmarks/kamani_pick.py cpu_expb_s10 cpu_combo_s10 \
-  cpu_corridor_s10 cpu_corridor_f50_s10)
+  cpu_corridor_s10 cpu_corridor_f50_s10 cpu_corridor_rescue_s10)
 echo "[chainG] full-run overrides: $FULL"
 # shellcheck disable=SC2086  # intentional word-splitting of overrides
 timeout 25200 python benchmarks/kamani_final.py full $FULL epochs=5000

@@ -72,6 +72,20 @@ class KamaniConfig:
     # near truth (benchmarks/kamani_basin_mechanism.py reachability
     # profile).  0 = reference behavior.
     exp_freeze_epochs: int = 0
+    # Permanent lr multiplier on the exponent net (basin study round 3):
+    # the corridor run's violent early row growth drags the exponents into
+    # tanh saturation (er -> -1.98 vs true (-1, -0.584)) where the data
+    # gradient is ~50x attenuated (d er/d raw = 2(1-tanh^2) ~ 0.04) and the
+    # fit floors at closed-loop err ~0.5.  Scaling the enet lr keeps the
+    # exponents near the (biased, near-true) init while the rows grow.
+    # Composes with exp_freeze_epochs.  1.0 = reference behavior.
+    exp_lr_scale: float = 1.0
+    # Raw-space exponent tether (basin study round 3): adds
+    # exp_l2 * mean(raw^2) to the loss, pulling er toward the biased init
+    # 2*tanh(exp_init_bias).  Acting on raw (pre-tanh) the pull is NOT
+    # attenuated at the squash bound, so unlike the data gradient it can
+    # rescue an already-saturated run.  0 = reference behavior.
+    exp_l2: float = 0.0
     # Coefficient-head deviations (basin study): start the coefficient rows
     # at exactly 0 — the entrance of the monotone-descent corridor — and/or
     # scale the head output so O(1) net movement reaches the O(100) true
@@ -174,6 +188,10 @@ class KamaniDiscovery:
         if l1_w is None:
             l1_w = self.cfg.param_l1
         loss = u_loss.mean() + var_loss.mean() + l1_w * param_loss
+        if self.cfg.exp_l2:
+            raw_e = (self.param_exp_net.apply(params["enet"])
+                     + self.cfg.exp_init_bias)
+            loss = loss + self.cfg.exp_l2 * jnp.mean(raw_e**2)
         aux = {"u_loss": u_loss.mean(), "var_loss": var_loss.mean()}
         if stats is not None:
             aux["fwd_rel_rnorm"] = stats["rel_rnorm"].max()
@@ -295,14 +313,21 @@ def true_params():
 
 def build_optimizer(cfg: KamaniConfig, lr, steps_per_epoch: int):
     """Adam, optionally with the exponent net held frozen for the first
-    cfg.exp_freeze_epochs epochs (zero-lr schedule on the 'enet' subtree)."""
-    if not cfg.exp_freeze_epochs:
+    cfg.exp_freeze_epochs epochs (zero-lr schedule on the 'enet' subtree)
+    and/or permanently lr-rescaled by cfg.exp_lr_scale."""
+    if not cfg.exp_freeze_epochs and cfg.exp_lr_scale == 1.0:
         return optax.adam(lr)
-    enet_lr = optax.join_schedules(
-        [optax.constant_schedule(0.0),
-         lr if callable(lr) else optax.constant_schedule(lr)],
-        [cfg.exp_freeze_epochs * steps_per_epoch],
-    )
+    if callable(lr):
+        scaled = lambda t: cfg.exp_lr_scale * lr(t)  # noqa: E731
+    else:
+        scaled = optax.constant_schedule(cfg.exp_lr_scale * lr)
+    if not cfg.exp_freeze_epochs:
+        enet_lr = scaled
+    else:
+        enet_lr = optax.join_schedules(
+            [optax.constant_schedule(0.0), scaled],
+            [cfg.exp_freeze_epochs * steps_per_epoch],
+        )
     return optax.multi_transform(
         {"main": optax.adam(lr), "enet": optax.adam(enet_lr)},
         param_labels=lambda p: {

@@ -200,6 +200,56 @@ def test_kamani_deviation_knobs():
         jax.tree.leaves(p["pnet"])[0] - jax.tree.leaves(params["pnet"])[0]
     ).max()) > 0
 
+    # exp_lr_scale: permanently rescales the enet step size (composable
+    # with the freeze); scale 0 pins enet forever while pnet moves
+    cfg = KamaniConfig(batch_size=2, exp_lr_scale=0.0)
+    m = KamaniDiscovery(cfg, FakeDS())
+    params = m.init(jax.random.PRNGKey(0))
+    opt = build_optimizer(cfg, cfg.lr, steps_per_epoch=1)
+    st = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(3):
+        upd, st = opt.update(grads, st, p)
+        p = optax.apply_updates(p, upd)
+    assert all(
+        float(jnp.abs(a - b).max()) == 0
+        for a, b in zip(jax.tree.leaves(p["enet"]),
+                        jax.tree.leaves(params["enet"]))
+    )
+    assert float(jnp.abs(
+        jax.tree.leaves(p["pnet"])[0] - jax.tree.leaves(params["pnet"])[0]
+    ).max()) > 0
+    # a fractional scale shrinks the enet Adam step by that factor
+    cfg = KamaniConfig(batch_size=2, exp_lr_scale=0.1)
+    opt = build_optimizer(cfg, cfg.lr, steps_per_epoch=1)
+    st = opt.init(params)
+    upd, _ = opt.update(grads, st, params)
+    e_step = float(jnp.abs(jax.tree.leaves(upd["enet"])[0]).max())
+    m_step = float(jnp.abs(jax.tree.leaves(upd["pnet"])[0]).max())
+    assert abs(e_step - 0.1 * m_step) < 1e-9 * max(m_step, 1.0)
+
+    # exp_l2: the raw-space tether adds exactly exp_l2 * mean(raw^2) to the
+    # training loss (checked through loss_fn, not by re-deriving the formula)
+    def full_loss(exp_l2):
+        cfg = KamaniConfig(
+            batch_size=2, pde=PDEConfig(precision="f64"), plot_every=0,
+            exp_init_bias=-0.55, exp_l2=exp_l2,
+        )
+        mm = KamaniDiscovery(cfg, FakeDS())
+        pp = mm.init(jax.random.PRNGKey(0))
+        u = jnp.ones((2, 24), dtype=jnp.float64)
+        sd = 0.5 * jnp.ones((2, 24), dtype=jnp.float64)
+        sdd = jnp.zeros((2, 24), dtype=jnp.float64)
+        loss, _ = mm.loss_fn(pp, u, sd, sdd)
+        raw = mm.param_exp_net.apply(pp["enet"]) + cfg.exp_init_bias
+        return float(loss), float(jnp.mean(raw**2))
+
+    l0, _ = full_loss(0.0)
+    l1, msq = full_loss(0.03)
+    assert msq > 0.0
+    np.testing.assert_allclose(l1 - l0, 0.03 * msq, rtol=1e-6)
+
 
 def test_gl_harness_steps(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
