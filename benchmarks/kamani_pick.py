@@ -67,7 +67,9 @@ GOOD_ERR = 0.12  # clearly better than the lazy basin's ~0.2 plateau
 CL_LINE = re.compile(r"closed-loop traj rel err: (.*)")
 CL_PAIR = re.compile(r"a=([\d.]+): ([\d.eE+-]+|nan|inf)")
 PARAM = re.compile(r"(?<!True )param \[\[(.*?)\]\]", re.S)
+EXPS = re.compile(r"(?<!True )exps? \[\[(.*?)\]\]", re.S)
 NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+TRUE_EXPS = (-1.0, -0.584)  # every row of the true Kamani model
 
 
 def scan_run(name: str):
@@ -92,8 +94,20 @@ def scan_run(name: str):
             # p1 row = entries 3..5; true (0, 94, 27.93) — escape magnitude
             # is how far the two lazily-pinned columns have grown
             escape = abs(nums[4]) + abs(nums[5])
-    detail = f"cl={last_cl.strip() if last_cl else 'none'} escape={escape:.3f}"
-    return err, escape, detail
+    # exponent health: mean |er - true| over the p1 row's two exponents
+    # (entries 2..3 of the 4x2 block) — tanh-saturated exponents (-1.98 vs
+    # true (-1, -0.584)) floor the closed-loop error even with a full
+    # escape, so among equal escapes the healthier exponents must win
+    exp_dist = float("inf")
+    exps = EXPS.findall(txt)
+    if exps:
+        enums = [float(x) for x in NUM.findall(exps[-1])]
+        if len(enums) >= 4:
+            exp_dist = (abs(enums[2] - TRUE_EXPS[0])
+                        + abs(enums[3] - TRUE_EXPS[1])) / 2
+    detail = (f"cl={last_cl.strip() if last_cl else 'none'} "
+              f"escape={escape:.3f} exp_dist={exp_dist:.3f}")
+    return err, escape, exp_dist, detail
 
 
 def main():
@@ -103,17 +117,23 @@ def main():
         if n not in PROBES:
             print(f"[pick] {n}: unknown probe name, skipping", file=sys.stderr)
             continue
-        err, escape, detail = scan_run(n)
-        rows.append((err, escape, n))
+        err, escape, exp_dist, detail = scan_run(n)
+        rows.append((err, escape, exp_dist, n))
         print(f"[pick] {n}: mean closed-loop err {err:.4f}  {detail}",
               file=sys.stderr)
     good = [r for r in rows if r[0] < GOOD_ERR]
     if good:
-        best = min(good)[2]
+        best = min(good)[3]
         why = f"closed-loop err {min(good)[0]:.4f} < {GOOD_ERR}"
     elif rows and max(r[1] for r in rows) > 0:
-        best = max(rows, key=lambda r: r[1])[2]
-        why = f"largest p1-row escape {max(r[1] for r in rows):.3f}"
+        # escape fallback with an exponent-health tie-breaker: among runs
+        # within 10% of the best escape, smallest |er - true| wins
+        top = max(r[1] for r in rows)
+        near = [r for r in rows if r[1] >= 0.9 * top]
+        pick = min(near, key=lambda r: r[2])
+        best = pick[3]
+        why = (f"escape {pick[1]:.3f} (>=90% of best {top:.3f}), "
+               f"healthiest exponents (dist {pick[2]:.3f})")
     else:
         best, why = "p_expb", "no usable probe; exp-bias fallback"
     print(f"[pick] winner: {best} ({why})", file=sys.stderr)
