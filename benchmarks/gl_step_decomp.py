@@ -47,6 +47,29 @@ VARIANTS = {
                       mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
                       mg_fgmres_max_iter_forward=30,
                       mg_fgmres_max_iter_backward=30),
+    # residual reuse (mg_smoother_residual): the V-cycle restricts the
+    # chebyshev recurrence's final residual instead of recomputing
+    # b - A x with a separate fine apply — one fewer normal-op apply per
+    # level per V-cycle at zero extra flops
+    "b30r": dict(mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                 mg_fgmres_max_iter_forward=30, mg_fgmres_max_iter_backward=30,
+                 mg_smoother_residual=True),
+    "fusedr_b30": dict(mg_smoother="chebyshev_fused", mg_precond_dtype="bf16",
+                       mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                       mg_fgmres_max_iter_forward=30,
+                       mg_fgmres_max_iter_backward=30,
+                       mg_smoother_residual=True),
+    # + fused FGMRES matvec (A z reconstructed from the post-smoother's
+    # invariant): zero unfused fine-level applies left in the Krylov loop
+    "fusedrm_b30": dict(mg_smoother="chebyshev_fused", mg_precond_dtype="bf16",
+                        mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                        mg_fgmres_max_iter_forward=30,
+                        mg_fgmres_max_iter_backward=30,
+                        mg_smoother_residual=True, mg_fused_matvec=True),
+    "b30rm": dict(mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                  mg_fgmres_max_iter_forward=30,
+                  mg_fgmres_max_iter_backward=30,
+                  mg_smoother_residual=True, mg_fused_matvec=True),
 }
 
 

@@ -39,7 +39,7 @@ pause_cpu_probes STOP
 echo "[chainG] === 1. GL step decomposition (base b30 fused_b30 fused) ==="
 # base re-measured in the SAME session: tunnel timing drift between
 # sessions reached 65% (VALIDATION.md), so cross-session A/B is invalid
-timeout 7200 python benchmarks/gl_step_decomp.py base b30 fused_b30 fused
+timeout 9000 python benchmarks/gl_step_decomp.py base b30 fused_b30 fusedr_b30 b30r
 
 echo "[chainG] === 2. bench.py (secure a headline number early) ==="
 timeout 5400 python bench.py

@@ -63,6 +63,21 @@ class PDEConfig:
     # GL fine level fits with mg_precond_dtype='bf16'.  Requires a
     # stencil-family mg_normal_op and the 'line' block smoother.
     mg_smoother: str = "chebyshev"
+    # Reuse the Chebyshev recurrence's final residual (a maintained loop
+    # invariant r = b - A x) as the V-cycle's restriction input instead of
+    # recomputing b - A x with a separate fine-level apply: zero extra
+    # flops, one fewer normal-op apply (+ its HBM round trip) per level
+    # per V-cycle.  Applies to both the XLA and fused chebyshev smoothers;
+    # incremental-vs-fresh residual differs only by f32 rounding drift
+    # (quality-guard tested).  Off = recompute (reference-shaped behavior).
+    mg_smoother_residual: bool = False
+    # Fuse the FGMRES matvec into the preconditioner: flexible GMRES needs
+    # (z, A z) per iteration, and A z = r - res_final falls out of the
+    # post-smoother's residual invariant (precondition_with_Az), removing
+    # the Krylov loop's inner fine-level apply entirely.  A z is then
+    # f32-accurate (preconditioner dtype) — fine for f32 solve dtypes and
+    # for preconditioned tolerances >~1e-6.  Off = explicit matvec.
+    mg_fused_matvec: bool = False
     # Chebyshev smoothing interval is [lmax/ratio, lmax]
     mg_chebyshev_ratio: float = 16.0
     # safety factor applied to the power-iteration lmax estimate.  This is

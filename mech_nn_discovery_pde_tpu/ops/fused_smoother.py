@@ -105,17 +105,25 @@ def _fused_chebyshev_kernel(
     steps: int,
     ratio: float,
     x0_zero: bool,
+    emit_residual: bool,
     coef_ref,
     binv_t_ref,
     b_ref,
     x0_ref,
     lmax_ref,
     out_ref,
+    res_ref=None,
 ):
     """One sample, `steps` Chebyshev iterations, everything VMEM-resident.
 
     Recurrence identical to MultigridSolver._smooth (Chebyshev on the
-    block-preconditioned operator over [lmax/ratio, lmax])."""
+    block-preconditioned operator over [lmax/ratio, lmax]).
+
+    emit_residual: the recurrence maintains r = b - A x as a loop invariant
+    (r is updated by -A d right after every x += d), so the final residual
+    the V-cycle needs for restriction is already on-chip — emitting it as a
+    second output saves the V-cycle's whole separate fine-level apply
+    (b - A x through HBM) at ZERO extra flops."""
     m = desc.n_mi
     coef = coef_ref[...].astype(jnp.float32)
     b = b_ref[...]
@@ -141,20 +149,27 @@ def _fused_chebyshev_kernel(
         d = rho_new * rho * d + (2.0 * rho_new / delta) * t1
         rho = rho_new
     out_ref[...] = x
+    if emit_residual:
+        res_ref[...] = r
 
 
-def _fused_single(desc, nt, S, steps, ratio, x0_zero, interpret,
-                  coef3, binv_t, B, X0, lmax11):
+def _fused_single(desc, nt, S, steps, ratio, x0_zero, emit_residual,
+                  interpret, coef3, binv_t, B, X0, lmax11):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = desc.n_mi
-    kern = partial(_fused_chebyshev_kernel, desc, nt, S, steps, ratio, x0_zero)
+    kern = partial(_fused_chebyshev_kernel, desc, nt, S, steps, ratio,
+                   x0_zero, emit_residual)
+    shp = jax.ShapeDtypeStruct((m, nt, S), jnp.float32)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((m, nt, S), jnp.float32),
+        out_shape=(shp, shp) if emit_residual else shp,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(
+            (pl.BlockSpec(memory_space=pltpu.VMEM),) * 2
+            if emit_residual else pl.BlockSpec(memory_space=pltpu.VMEM)
+        ),
         interpret=interpret,
     )(coef3, binv_t, B, X0, lmax11)
 
@@ -166,8 +181,11 @@ def make_fused_smoother(
     ratio: float,
     x0_zero: bool,
     interpret: bool = False,
+    emit_residual: bool = False,
 ):
-    """Returns smooth(coef, binv_t, b, x0, lmax) -> x for ONE sample.
+    """Returns smooth(coef, binv_t, b, x0, lmax) -> x for ONE sample
+    (-> (x, b - A x) when emit_residual, at zero extra flops — see
+    _fused_chebyshev_kernel).
 
     coef: (NC, N) stored dtype; binv_t: (bw, m, nt, S) stored dtype
     (column-major block inverse, see _emit_block_apply);
@@ -178,6 +196,9 @@ def make_fused_smoother(
     nt, S = dims[0], int(np.prod(dims[1:]))
     assert nt * S == desc.grid_size
 
+    def _unview(Y, ref):
+        return Y.transpose(1, 2, 0).reshape(-1).astype(ref.dtype)
+
     @jax.custom_batching.custom_vmap
     def smooth(coef, binv_t, b, x0, lmax):
         ipt = interpret or jax.default_backend() == "cpu"
@@ -185,9 +206,11 @@ def make_fused_smoother(
         B = b.reshape(nt, S, m).transpose(2, 0, 1).astype(jnp.float32)
         X0 = x0.reshape(nt, S, m).transpose(2, 0, 1).astype(jnp.float32)
         lmax11 = jnp.asarray(lmax, jnp.float32).reshape(1, 1)
-        Y = _fused_single(desc, nt, S, steps, ratio, x0_zero, ipt,
-                          coef3, binv_t, B, X0, lmax11)
-        return Y.transpose(1, 2, 0).reshape(-1).astype(b.dtype)
+        Y = _fused_single(desc, nt, S, steps, ratio, x0_zero, emit_residual,
+                          ipt, coef3, binv_t, B, X0, lmax11)
+        if emit_residual:
+            return _unview(Y[0], b), _unview(Y[1], b)
+        return _unview(Y, b)
 
     @smooth.def_vmap
     def _smooth_vmap(axis_size, in_batched, *args):
@@ -196,6 +219,6 @@ def make_fused_smoother(
             for a, bat in zip(args, in_batched)
         )
         out = jax.lax.map(lambda t: smooth(*t), args_b)
-        return out, True
+        return out, jax.tree.map(lambda _: True, out)
 
     return smooth

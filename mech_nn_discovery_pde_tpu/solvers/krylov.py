@@ -55,11 +55,18 @@ def fgmres(
     maxiter: int = 40,
     atol: float = 1e-5,
     tol: float = 1e-5,
+    precond_matvec: Optional[Callable] = None,
 ) -> KrylovResult:
     """Flexible GMRES on a single right-hand side (vmap for batches).
 
     Convergence test matches the reference (fgmres.py:134): absolute residual
     norm <= max(atol, tol * ||b||), checked between restart windows.
+
+    precond_matvec: optional fused v -> (z, A z) closure replacing the
+    separate precond + matvec inside the Arnoldi loop (the multigrid
+    preconditioner reconstructs A z from its smoother's residual invariant
+    at zero extra applies — solvers/multigrid.precondition_with_Az).
+    `matvec` is still used for the restart-boundary true residuals.
     """
     precond = precond or _identity
     n = b.shape[0]
@@ -82,9 +89,12 @@ def fgmres(
 
         def arnoldi_step(j, carry):
             V, Z, R, g, cs, sn = carry
-            z = precond(V[j])
+            if precond_matvec is not None:
+                z, u = precond_matvec(V[j])
+            else:
+                z = precond(V[j])
+                u = matvec(z)
             Z = Z.at[j].set(z)
-            u = matvec(z)
             # CGS2 orthogonalization: rows > j of V are zero, so a full
             # matrix product projects exactly onto the built basis (MXU-friendly)
             h1 = V @ u

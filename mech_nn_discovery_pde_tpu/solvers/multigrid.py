@@ -567,7 +567,11 @@ class MultigridSolver:
     # ------------------------------------------------------------------
 
     def _smooth(self, k: int, lvl, b, x, steps: int, back: bool,
-                x0_zero: bool = False):
+                x0_zero: bool = False, want_residual: bool = False):
+        """want_residual: also return b - A x_final, reused from the
+        chebyshev recurrence's maintained invariant (config
+        mg_smoother_residual) — zero extra applies on the chebyshev/fused
+        paths; the jacobi path recomputes it."""
         sysk = self.systems[k]
         apply_B = lambda r: self._block_apply(
             sysk, lvl["binv"], r, transposed=self._fused_lvl[k])
@@ -576,7 +580,7 @@ class MultigridSolver:
             # whole pass as one VMEM-resident Pallas kernel per sample
             # (ops/fused_smoother.py); exactness-tested against the XLA
             # chebyshev branch below
-            key = (k, steps, x0_zero)
+            key = (k, steps, x0_zero, want_residual)
             sm = self._fused_kernels.get(key)
             if sm is None:
                 from mech_nn_discovery_pde_tpu.ops.fused_smoother import (
@@ -586,6 +590,7 @@ class MultigridSolver:
                 sm = make_fused_smoother(
                     self._nstencil[k][0], self.dim_list[k], steps,
                     self.config.mg_chebyshev_ratio, x0_zero,
+                    emit_residual=want_residual,
                 )
                 self._fused_kernels[key] = sm
             return sm(lvl["coef"], lvl["binv"], b, x, lvl["lmax"])
@@ -594,6 +599,8 @@ class MultigridSolver:
             for _ in range(steps):
                 r = b - mv(x)
                 x = x + w * apply_B(r)
+            if want_residual:
+                return x, b - mv(x)
             return x
         # Chebyshev over the block-preconditioned operator on [lmax/r, lmax].
         # Vector arithmetic is f32 regardless of mg_precond_dtype (see
@@ -612,6 +619,8 @@ class MultigridSolver:
             rho_new = 1.0 / (2.0 * sigma - rho)
             d = rho_new * rho * d + (2.0 * rho_new / delta) * apply_B(r)
             rho = rho_new
+        if want_residual:
+            return x, r  # invariant: r == b - A x after every iteration
         return x
 
     # ---- variable-grid transfers (single sample) ----------------------
@@ -635,12 +644,18 @@ class MultigridSolver:
     # V-cycle (single sample; hier entries are per-sample slices)
     # ------------------------------------------------------------------
 
-    def v_cycle(self, hier, b, k: int = 0, back: bool = False) -> jnp.ndarray:
+    def v_cycle(self, hier, b, k: int = 0, back: bool = False,
+                return_residual: bool = False):
         lvl = hier["levels"][k]
         x = jnp.zeros_like(b)
-        x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre, back,
-                         x0_zero=True)
-        r = b - self._normal_apply(k, lvl, x)
+        if self.config.mg_smoother_residual:
+            x, r = self._smooth(k, lvl, b, x,
+                                self.config.mg_smoother_steps_pre, back,
+                                x0_zero=True, want_residual=True)
+        else:
+            x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_pre,
+                             back, x0_zero=True)
+            r = b - self._normal_apply(k, lvl, x)
         rH = self._restrict_vec(k, r)
         if k == self.n_grid - 2:
             deltaH = jnp.einsum("ij,j->i", hier["coarse_inv"], rH,
@@ -653,6 +668,12 @@ class MultigridSolver:
         # transport): Krylov exploits the rich smooth components of the raw
         # correction even when their scale is off.
         x = x + self._prolong_vec(k, deltaH)
+        if return_residual:
+            # post-smoother invariant r = b - A x: the caller gets the
+            # final residual at zero extra applies (see _smooth)
+            return self._smooth(k, lvl, b, x,
+                                self.config.mg_smoother_steps_post, back,
+                                want_residual=True)
         x = self._smooth(k, lvl, b, x, self.config.mg_smoother_steps_post, back)
         return x
 
@@ -676,6 +697,23 @@ class MultigridSolver:
             )
             x = x + self.v_cycle(hier, res, 0, back)
         return x.astype(r.dtype)
+
+    def precondition_with_Az(self, hier, r: jnp.ndarray, back: bool = False):
+        """Fused preconditioner + matvec for flexible GMRES: returns
+        (z, A z) where A z = r - res_final is reconstructed from the
+        post-smoother's residual invariant (config mg_fused_matvec) —
+        the Krylov loop's entire inner fine-level apply disappears at
+        zero extra flops.  The reconstruction telescopes across mg_steps:
+        res_{i+1} = res_i - A dx_i, so r - res_final = A sum(dx_i)."""
+        n_step = (
+            self.config.mg_steps_backward if back else self.config.mg_steps_forward
+        )
+        rp = r.astype(self.pdtype)
+        x, res = self.v_cycle(hier, rp, 0, back, return_residual=True)
+        for _ in range(n_step - 1):
+            dx, res = self.v_cycle(hier, res, 0, back, return_residual=True)
+            x = x + dx
+        return x.astype(r.dtype), (rp - res).astype(r.dtype)
 
     # ------------------------------------------------------------------
     # FGMRES solve on the fine normal equations (batched)
@@ -720,6 +758,9 @@ class MultigridSolver:
             return lambda v: frmv(sv, fmv(sv, v))
 
         def solve_one(vals, b, hier_s):
+            pmv = None
+            if cfg.mg_fused_matvec:
+                pmv = lambda r: self.precondition_with_Az(hier_s, r, back=back)
             res = krylov.fgmres(
                 fine_normal_op(vals),
                 b.astype(sdt),
@@ -728,6 +769,7 @@ class MultigridSolver:
                 maxiter=maxiter,
                 atol=cfg.mg_fgmres_tol,
                 tol=cfg.mg_fgmres_tol,
+                precond_matvec=pmv,
             )
             return res.x.astype(out_dtype), res.iters, res.rnorm.astype(out_dtype)
 

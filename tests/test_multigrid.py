@@ -369,6 +369,15 @@ def test_fused_smoother_matches_xla_smoother():
         err = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
         assert err < 1e-4, f"fused smoother mismatch (x0_zero={x0_zero}): {err}"
 
+    # emit_residual variant: same x, second output equals b - A x
+    sm = make_fused_smoother(desc, dims, steps=3,
+                             ratio=mgs.config.mg_chebyshev_ratio,
+                             x0_zero=True, interpret=True, emit_residual=True)
+    got_x, got_r = sm(lvl["coef"], binv_t, b, jnp.zeros_like(b), lvl["lmax"])
+    r_ref = b - mgs._normal_apply(0, lvl, got_x)
+    err = float(jnp.abs(got_r - r_ref).max() / (jnp.abs(r_ref).max() + 1e-30))
+    assert err < 1e-4, f"fused emitted residual mismatch: {err}"
+
 
 def test_mg_fused_smoother_solve_parity():
     """mg_smoother='chebyshev_fused' end-to-end: same FGMRES convergence
@@ -398,6 +407,95 @@ def test_mg_fused_smoother_solve_parity():
                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
                        config=PDEConfig(mg_smoother="chebyshev_fused",
                                         mg_normal_op="factored"))
+
+
+def test_mg_smoother_residual_reuse():
+    """mg_smoother_residual=True: the V-cycle reuses the chebyshev
+    recurrence's maintained invariant r = b - A x as the restriction input
+    instead of recomputing it with a separate fine-level apply.  Checks
+    (a) the returned residual IS b - A x to f32 roundoff (XLA and fused
+    interpret paths), and (b) end-to-end solve quality matches the
+    recompute path."""
+    bs, dims = 2, (16, 16)
+    outs = {}
+    for sm, rr in [("chebyshev", False), ("chebyshev", True),
+                   ("chebyshev_fused", True)]:
+        mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1,
+                            n_iv=1, init_index_mi_list=IVS_2D,
+                            solver_dbl=True, n_grid=2,
+                            config=PDEConfig(precision="f64", mg_smoother=sm,
+                                             mg_smoother_residual=rr))
+        args = transport_args(bs, dims, mg)
+        st = mg.solve_stats(*args)
+        outs[(sm, rr)] = (np.asarray(st["rel_rnorm"]).max(),
+                          np.asarray(mg(*args)[0]))
+    r_base, u_base = outs[("chebyshev", False)]
+    for key in [("chebyshev", True), ("chebyshev_fused", True)]:
+        r_k, u_k = outs[key]
+        assert r_k < 3 * r_base + 1e-6, (key, r_k, r_base)
+        diff = np.abs(u_base - u_k).max() / np.abs(u_base).max()
+        assert diff < 1e-2, (key, diff)
+
+    # direct invariant check: (x, r) from want_residual with r == b - A x
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                        config=PDEConfig(precision="f64"))
+    mgs = mg.mg_solver
+    coeffs, rhs, iv, steps = transport_args(bs, dims, mg)
+    vals = mgs.systems[0].fill_values(coeffs, steps, dtype=jnp.float64)
+    hier = mgs.build_hierarchy(coeffs, rhs, iv, steps, vals)
+    lvl = jax.tree.map(lambda a: a[0], hier["levels"][0])
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(mgs.systems[0].num_vars), jnp.float32)
+    x, r = mgs._smooth(0, lvl, b, jnp.zeros_like(b), 4, False,
+                       x0_zero=True, want_residual=True)
+    r_ref = b - mgs._normal_apply(0, lvl, x)
+    err = float(jnp.abs(r - r_ref).max() / (jnp.abs(r_ref).max() + 1e-30))
+    assert err < 1e-4, err
+
+
+def test_mg_fused_matvec():
+    """mg_fused_matvec=True: FGMRES gets (z, A z) from the preconditioner
+    (A z reconstructed from the post-smoother's residual invariant,
+    precondition_with_Az) instead of an explicit fine-level apply per
+    Arnoldi step.  Checks the reconstruction against the explicit matvec
+    and end-to-end solve parity."""
+    bs, dims = 2, (16, 16)
+    outs = {}
+    for fm in (False, True):
+        mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1,
+                            n_iv=1, init_index_mi_list=IVS_2D,
+                            solver_dbl=True, n_grid=2,
+                            config=PDEConfig(precision="f64",
+                                             mg_fused_matvec=fm))
+        args = transport_args(bs, dims, mg)
+        st = mg.solve_stats(*args)
+        outs[fm] = (np.asarray(st["rel_rnorm"]).max(),
+                    np.asarray(mg(*args)[0]))
+    r_base, u_base = outs[False]
+    r_f, u_f = outs[True]
+    assert r_f < 3 * r_base + 1e-6, (r_f, r_base)
+    diff = np.abs(u_base - u_f).max() / np.abs(u_base).max()
+    assert diff < 1e-2, diff
+
+    # direct reconstruction check: A z from the invariant == explicit apply
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=IVS_2D, solver_dbl=True, n_grid=2,
+                        config=PDEConfig(precision="f64"))
+    mgs = mg.mg_solver
+    coeffs, rhs, iv, steps = transport_args(bs, dims, mg)
+    vals = mgs.systems[0].fill_values(coeffs, steps, dtype=jnp.float64)
+    hier = mgs.build_hierarchy(coeffs, rhs, iv, steps, vals)
+    hier_s = jax.tree.map(lambda a: a[0], hier)
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.standard_normal(mgs.systems[0].num_vars), jnp.float32)
+    z, Az = mgs.precondition_with_Az(hier_s, r, back=False)
+    z_ref = mgs.precondition(hier_s, r, back=False)
+    Az_ref = mgs._normal_apply(0, hier_s["levels"][0], z)
+    assert float(jnp.abs(z - z_ref).max()
+                 / (jnp.abs(z_ref).max() + 1e-30)) < 1e-5
+    err = float(jnp.abs(Az - Az_ref).max() / (jnp.abs(Az_ref).max() + 1e-30))
+    assert err < 1e-3, err
 
 
 def test_in_band_solve_stats_and_backward_probe():
