@@ -70,6 +70,26 @@ VARIANTS = {
                   mg_fgmres_max_iter_forward=30,
                   mg_fgmres_max_iter_backward=30,
                   mg_smoother_residual=True, mg_fused_matvec=True),
+    # factored-bf16 storage (W = chol-factor of B^-1 in bf16): the only
+    # low-precision mode that keeps f32-level quality (relres 4.07e-4 vs
+    # f32 4.04e-4; all-bf16 collapses to 1.0 — benchmarks/bf16_mixed_diag
+    # .py), and it fits the fused kernel's GL fine level in VMEM.  The
+    # plain-bf16 fused_* variants above are retired: quality-fatal.
+    "b30w": dict(mg_precond_dtype="bf16_factored",
+                 mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                 mg_fgmres_max_iter_forward=30,
+                 mg_fgmres_max_iter_backward=30),
+    "fusedw_b30": dict(mg_smoother="chebyshev_fused",
+                       mg_precond_dtype="bf16_factored",
+                       mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                       mg_fgmres_max_iter_forward=30,
+                       mg_fgmres_max_iter_backward=30),
+    "fusedwrm_b30": dict(mg_smoother="chebyshev_fused",
+                         mg_precond_dtype="bf16_factored",
+                         mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                         mg_fgmres_max_iter_forward=30,
+                         mg_fgmres_max_iter_backward=30,
+                         mg_smoother_residual=True, mg_fused_matvec=True),
 }
 
 

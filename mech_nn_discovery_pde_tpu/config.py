@@ -89,21 +89,31 @@ class PDEConfig:
     # smoother block structure: 'line' (time-line blocks; strong, the
     # TPU-parallel analogue of directional Gauss-Seidel) or 'point'
     mg_block_smoother: str = "line"
-    # dtype of the STORED preconditioner operators (assembled stencil coef,
-    # explicit block inverses, coarse inverse): 'f32' or 'bf16'.  The
-    # V-cycle is HBM-traffic bound on TPU (binv reads ~411 MB + coef ~114 MB
-    # per batched fine-level application); bf16 storage halves that, and
-    # mixed bf16xf32 einsums read the stored operand at half traffic while
-    # promoting in-register.  V-cycle VECTOR arithmetic, assembly,
-    # factorization and the lmax power iteration stay f32 (bf16 residual
-    # vectors collapse the cycle on stiff operators — measured 7e-4 -> 0.77
-    # rel_rnorm on steps=0.01 transport; with f32 vectors the same case
-    # holds 7.7e-3).  FGMRES is *flexible*: the rounded preconditioner
-    # perturbs search directions, not the fine-level operator/residual.
-    # Measured (benchmarks/precond_bf16_quality.py, CPU f64 outer, 40
-    # iters): GL-shaped 3D 1.12e-3 -> 1.31e-3, 2D transport 1.38e-4 ->
-    # 1.83e-4 — a 17-33% residual cost.  Kept opt-in ('f32' default) until
-    # an end-to-end TPU discovery run at bf16 shows unchanged recovery.
+    # dtype of the STORED preconditioner operators: 'f32', 'bf16' or
+    # 'bf16_factored'.  The V-cycle is HBM-traffic bound on TPU (binv reads
+    # ~411 MB + coef ~114 MB per batched fine-level application), and the
+    # fused smoother (mg_smoother='chebyshev_fused') needs the fine level
+    # under the ~16 MB/core VMEM budget — which f32 storage exceeds at GL
+    # scale.  V-cycle VECTOR arithmetic, assembly, factorization and the
+    # lmax power iteration stay f32 in every mode (bf16 residual vectors
+    # collapse the cycle on stiff operators — measured 7e-4 -> 0.77
+    # rel_rnorm on steps=0.01 transport).
+    #
+    # 'bf16' (everything bf16) is QUALITY-FATAL at GL scale and kept only
+    # for the measured record: entrywise bf16 rounding of the cond~2e6
+    # line-block inverses makes 728/1024 blocks INDEFINITE, breaking the
+    # SPD smoother + Chebyshev (relres 1.0 vs 4.5e-4 @30 iters), and bf16
+    # coef alone costs 25x (benchmarks/bf16_{collapse,factor,attrib,
+    # mixed}_diag.py).
+    #
+    # 'bf16_factored' is the production low-precision mode: store the
+    # PSD square-root factor W = L^-T (B^-1 = W W^T) in bf16 and apply
+    # W (W^T r) — round(W) round(W)^T is PSD BY CONSTRUCTION, so the
+    # smoother stays SPD and quality is indistinguishable from f32
+    # (relres 4.07e-4 vs 4.04e-4 on the GL-shaped production case);
+    # coef/coarse_inv stay f32 (coef bf16 is the 25x loser).  binv bytes
+    # halve: the GL fine level (W bf16 6.4 MB + coef f32 4.3 MB) fits the
+    # fused kernel's VMEM budget with near-f32 quality.
     mg_precond_dtype: str = "f32"
     # dtype of the outer FGMRES iteration on the fine normal equations:
     # 'solver' (= f64 when solver_dbl) or 'f32'.  f32 halves the fine-matvec

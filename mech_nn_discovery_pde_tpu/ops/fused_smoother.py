@@ -6,9 +6,12 @@ preconditioner operators from HBM on EVERY Chebyshev step — per fine-level
 GL step that is 10 x (binv ~12.8 MB + coef ~4.3 MB) per sample per
 smoothing pass, and the V-cycle dominates the training step.  Fusing the
 pass reads binv/coef ONCE and keeps the iteration vectors on-chip, cutting
-smoother HBM traffic ~10x.  With bf16-stored operators
-(config.mg_precond_dtype='bf16') the GL fine level needs ~10 MB of VMEM,
-under the ~16 MB/core budget; f32 operators fit the coarser levels.
+smoother HBM traffic ~10x.  The GL fine level exceeds the ~16 MB/core VMEM
+budget at f32; the production fit is mg_precond_dtype='bf16_factored'
+(W = chol-factor of B^-1 stored bf16 ~6.4 MB + coef f32 ~4.3 MB), which
+keeps f32-level quality because round(W) round(W)^T stays PSD — all-bf16
+storage ('bf16') collapses the preconditioner at this scale
+(benchmarks/bf16_mixed_diag.py).  f32 operators fit the coarser levels.
 
 Replaces the hot loop of MultigridSolver._smooth (solvers/multigrid.py);
 the reference's analogue is the CuPy Gauss-Seidel sweep driven from Python
@@ -98,6 +101,30 @@ def _emit_block_apply(nt: int, m: int, S: int, winv_ref, r):
     return acc
 
 
+def _emit_factored_block_apply(nt: int, m: int, S: int, w_ref, r):
+    """t1 = W (W^T r) for mg_precond_dtype='bf16_factored', fully static.
+
+    w_ref: (bw, m, nt, S) ref (bf16) holding the PSD square-root factor W
+    (B^-1 = W W^T) in the SAME column-major layout as _emit_block_apply —
+    w[j][mi, ti, s] = W_s[ti*m+mi, j].  Pass 1 reduces u_j = sum_i W[i,j]
+    r_i (one whole-tensor multiply + (m, nt) reduction per column, result
+    (S,) lane vectors); pass 2 is the same MAC unroll as the inverse apply
+    with u_j lane-broadcast.  round(W) round(W)^T is PSD by construction,
+    which is why factored bf16 storage keeps f32-level smoother quality
+    while the entrywise-rounded inverse goes indefinite
+    (benchmarks/bf16_mixed_diag.py)."""
+    bw = nt * m
+    # two passes over the stored columns; each pass RE-READS w_ref[j] so at
+    # most one f32-cast column is live at a time (keeping all bw cast
+    # columns live would add ~bw*m*nt*S*4 bytes of VMEM intermediates)
+    us = [jnp.sum(w_ref[j].astype(jnp.float32) * r, axis=(0, 1))
+          for j in range(bw)]  # each (S,)
+    acc = w_ref[0].astype(jnp.float32) * us[0][None, None, :]
+    for j in range(1, bw):
+        acc = acc + w_ref[j].astype(jnp.float32) * us[j][None, None, :]
+    return acc
+
+
 def _fused_chebyshev_kernel(
     desc: NormalStencilDesc,
     nt: int,
@@ -106,6 +133,7 @@ def _fused_chebyshev_kernel(
     ratio: float,
     x0_zero: bool,
     emit_residual: bool,
+    factored: bool,
     coef_ref,
     binv_t_ref,
     b_ref,
@@ -125,6 +153,8 @@ def _fused_chebyshev_kernel(
     second output saves the V-cycle's whole separate fine-level apply
     (b - A x through HBM) at ZERO extra flops."""
     m = desc.n_mi
+    block_apply = (_emit_factored_block_apply if factored
+                   else _emit_block_apply)
     coef = coef_ref[...].astype(jnp.float32)
     b = b_ref[...]
     lmax = lmax_ref[0, 0]
@@ -140,12 +170,12 @@ def _fused_chebyshev_kernel(
     else:
         x = x0_ref[...]
         r = b - _emit_stencil_apply(desc, nt, S, coef, x)
-    d = _emit_block_apply(nt, m, S, binv_t_ref, r) / theta
+    d = block_apply(nt, m, S, binv_t_ref, r) / theta
     for _ in range(steps):
         x = x + d
         r = r - _emit_stencil_apply(desc, nt, S, coef, d)
         rho_new = 1.0 / (2.0 * sigma - rho)
-        t1 = _emit_block_apply(nt, m, S, binv_t_ref, r)
+        t1 = block_apply(nt, m, S, binv_t_ref, r)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * t1
         rho = rho_new
     out_ref[...] = x
@@ -154,13 +184,13 @@ def _fused_chebyshev_kernel(
 
 
 def _fused_single(desc, nt, S, steps, ratio, x0_zero, emit_residual,
-                  interpret, coef3, binv_t, B, X0, lmax11):
+                  factored, interpret, coef3, binv_t, B, X0, lmax11):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = desc.n_mi
     kern = partial(_fused_chebyshev_kernel, desc, nt, S, steps, ratio,
-                   x0_zero, emit_residual)
+                   x0_zero, emit_residual, factored)
     shp = jax.ShapeDtypeStruct((m, nt, S), jnp.float32)
     return pl.pallas_call(
         kern,
@@ -182,6 +212,7 @@ def make_fused_smoother(
     x0_zero: bool,
     interpret: bool = False,
     emit_residual: bool = False,
+    factored: bool = False,
 ):
     """Returns smooth(coef, binv_t, b, x0, lmax) -> x for ONE sample
     (-> (x, b - A x) when emit_residual, at zero extra flops — see
@@ -207,7 +238,7 @@ def make_fused_smoother(
         X0 = x0.reshape(nt, S, m).transpose(2, 0, 1).astype(jnp.float32)
         lmax11 = jnp.asarray(lmax, jnp.float32).reshape(1, 1)
         Y = _fused_single(desc, nt, S, steps, ratio, x0_zero, emit_residual,
-                          ipt, coef3, binv_t, B, X0, lmax11)
+                          factored, ipt, coef3, binv_t, B, X0, lmax11)
         if emit_residual:
             return _unview(Y[0], b), _unview(Y[1], b)
         return _unview(Y, b)

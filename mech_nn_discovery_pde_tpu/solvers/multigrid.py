@@ -89,14 +89,23 @@ class MultigridSolver:
         self.dtype = jnp.float64 if (solver_dbl and x64) else jnp.float32
         self.pdtype = jnp.float32  # preconditioner ASSEMBLY dtype
         mpd = self.config.mg_precond_dtype
-        if mpd not in ("f32", "bf16"):
+        if mpd not in ("f32", "bf16", "bf16_factored"):
             raise ValueError(
-                f"unknown mg_precond_dtype {mpd!r}; expected 'f32' or 'bf16'"
+                f"unknown mg_precond_dtype {mpd!r}; expected 'f32', 'bf16' "
+                "or 'bf16_factored'"
             )
-        # dtype the preconditioner is STORED in and APPLIED at (V-cycle /
-        # Chebyshev vectors).  Assembly, block factorization and the lmax
-        # power iteration stay f32; see config.mg_precond_dtype.
+        # Storage dtypes (see config.mg_precond_dtype).  Assembly, block
+        # factorization, vectors and the lmax power iteration stay f32.
+        # 'bf16_factored': binv holds the PSD square-root factor W = L^-T
+        # (B^-1 = W W^T) in bf16 — round(W) round(W)^T stays PSD, unlike the
+        # entrywise-rounded inverse, which goes indefinite at cond ~2e6 and
+        # collapses the smoother (benchmarks/bf16_mixed_diag.py) — while
+        # coef/coarse_inv stay f32 (coef bf16 alone costs 25x quality).
         self.vdtype = jnp.bfloat16 if mpd == "bf16" else jnp.float32
+        self._factored_binv = mpd == "bf16_factored"
+        self.binv_dtype = (
+            jnp.bfloat16 if mpd in ("bf16", "bf16_factored") else jnp.float32
+        )
         if self.config.mg_normal_op not in ("stencil", "stencil_pallas", "factored"):
             raise ValueError(
                 f"unknown mg_normal_op {self.config.mg_normal_op!r}; expected "
@@ -180,7 +189,8 @@ class MultigridSolver:
         self._fused_lvl = [False] * self.n_grid
         self._fused_kernels: Dict[Tuple[int, int, bool], Any] = {}
         if self._fused_smoother:
-            esz = jnp.dtype(self.vdtype).itemsize
+            csz = jnp.dtype(self.vdtype).itemsize
+            bsz = jnp.dtype(self.binv_dtype).itemsize
             for k, sysk in enumerate(self.systems):
                 dims = self.dim_list[k]
                 if len(dims) < 2:
@@ -189,7 +199,7 @@ class MultigridSolver:
                 m, N = desc.n_mi, desc.grid_size
                 bw = dims[0] * m
                 S = N // dims[0]
-                op_bytes = (desc.n_channels * N + bw * bw * S) * esz
+                op_bytes = desc.n_channels * N * csz + bw * bw * S * bsz
                 vec_bytes = 6 * m * N * 4
                 self._fused_lvl[k] = op_bytes + vec_bytes < 14 * 2**20
 
@@ -327,15 +337,24 @@ class MultigridSolver:
             # matmul (measured ~20x faster per apply)
             L = jnp.linalg.cholesky(B)
             eye = jnp.broadcast_to(jnp.eye(nb, dtype=B.dtype), B.shape)
+            if self._factored_binv:
+                # PSD square-root factor instead of the explicit inverse:
+                # B^-1 = L^-T L^-1 = W W^T with W = L^-T.  Rounding W to
+                # bf16 keeps round(W) round(W)^T PSD by construction; the
+                # entrywise-rounded inverse goes indefinite at cond ~2e6
+                # (728/1024 GL fine blocks) and collapses the smoother.
+                Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+                return jnp.swapaxes(Linv, -1, -2)
             return jax.scipy.linalg.cho_solve((L, True), eye)
 
         binv = jax.vmap(blocks_one)(v32)
         sv = jax.vmap(lambda v: split_values(sysk.spec, v))(v32)
         # storage cast AFTER f32 assembly/factorization (mg_precond_dtype).
-        # Fused-smoother levels store the inverse COLUMN-major as
-        # (bw, n_mi, nt, n_lines) — winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j]
-        # — so the kernel's block apply is a static unroll of whole-tensor
-        # lane-parallel MACs (ops/fused_smoother._emit_block_apply).
+        # Fused-smoother levels store the inverse (or its factor W) COLUMN-
+        # major as (bw, n_mi, nt, n_lines) — winv[j][mi, ti, s] =
+        # M_s[ti*m+mi, j] — so the kernel's block apply is a static unroll
+        # of whole-tensor lane-parallel MACs
+        # (ops/fused_smoother._emit_block_apply / _emit_factored_block_apply).
         if self._fused_lvl[k]:
             nt = self.dim_list[k][0]
             n_mi = self.systems[k].var_set.n_mi
@@ -343,7 +362,7 @@ class MultigridSolver:
             b2 = jnp.transpose(binv, (0, 3, 2, 1))  # (bs, j, i, n_lines)
             b2 = b2.reshape(b2.shape[0], bw, nt, n_mi, -1)  # i -> (ti, mi)
             binv = jnp.transpose(b2, (0, 1, 3, 2, 4))  # (bs, j, mi, ti, n)
-        lvl = {"values": v32, "sv": sv, "binv": binv.astype(self.vdtype)}
+        lvl = {"values": v32, "sv": sv, "binv": binv.astype(self.binv_dtype)}
         if self.config.mg_normal_op in ("stencil", "stencil_pallas"):
             _, build, _ = self._nstencil[k]
             lvl["coef"] = jax.vmap(build)(sv).astype(self.vdtype)
@@ -383,21 +402,35 @@ class MultigridSolver:
         single grid points, per config.mg_block_smoother.  `transposed`
         marks the fused-smoother (bw, n_mi, nt, n_lines) column-major
         storage layout (winv[j][mi, ti, s] = B^{-1}_s[ti*m+mi, j])."""
+        hi = jax.lax.Precision.HIGHEST
         if self.config.mg_block_smoother == "line":
             rb = sysk.line_vec_to_blocks(r, axis=0)
             if transposed:
-                # out[n, i=ti*m+mi] = sum_j winv[j, mi, ti, n] rb[n, j]
-                z = jnp.einsum("jmtn,nj->ntm", binv, rb,
-                               precision=jax.lax.Precision.HIGHEST)
+                if self._factored_binv:
+                    # binv holds W column-major (w[j, mi, ti, n] =
+                    # W_n[ti*m+mi, j]); apply B^-1 r = W (W^T r)
+                    nt = binv.shape[2]
+                    m = binv.shape[1]
+                    rb3 = rb.reshape(rb.shape[0], nt, m)
+                    u = jnp.einsum("jmtn,ntm->nj", binv, rb3, precision=hi)
+                    z = jnp.einsum("jmtn,nj->ntm", binv, u, precision=hi)
+                else:
+                    # out[n, i=ti*m+mi] = sum_j winv[j, mi, ti, n] rb[n, j]
+                    z = jnp.einsum("jmtn,nj->ntm", binv, rb, precision=hi)
                 z = z.reshape(z.shape[0], -1)
+            elif self._factored_binv:
+                u = jnp.einsum("nij,ni->nj", binv, rb, precision=hi)
+                z = jnp.einsum("nij,nj->ni", binv, u, precision=hi)
             else:
-                z = jnp.einsum("nij,nj->ni", binv, rb,
-                               precision=jax.lax.Precision.HIGHEST)
+                z = jnp.einsum("nij,nj->ni", binv, rb, precision=hi)
             return sysk.line_blocks_to_vec(z, axis=0)
         n_mi = sysk.var_set.n_mi
         rb = r.reshape(-1, n_mi)
-        z = jnp.einsum("nij,nj->ni", binv, rb,
-                       precision=jax.lax.Precision.HIGHEST)
+        if self._factored_binv:
+            u = jnp.einsum("nij,ni->nj", binv, rb, precision=hi)
+            z = jnp.einsum("nij,nj->ni", binv, u, precision=hi)
+        else:
+            z = jnp.einsum("nij,nj->ni", binv, rb, precision=hi)
         return z.reshape(-1)
 
     def _estimate_lmax(self, k: int, lvl, iters: int = 20):
@@ -591,6 +624,7 @@ class MultigridSolver:
                     self._nstencil[k][0], self.dim_list[k], steps,
                     self.config.mg_chebyshev_ratio, x0_zero,
                     emit_residual=want_residual,
+                    factored=self._factored_binv,
                 )
                 self._fused_kernels[key] = sm
             return sm(lvl["coef"], lvl["binv"], b, x, lvl["lmax"])

@@ -321,6 +321,46 @@ def test_mg_precond_dtype_bf16():
                        config=PDEConfig(mg_precond_dtype="f16"))
 
 
+def test_mg_precond_dtype_bf16_factored():
+    """mg_precond_dtype='bf16_factored' (binv stores the PSD square-root
+    factor W = L^-T in bf16; B^-1 r applied as W (W^T r)) must match f32
+    preconditioner quality: round(W) round(W)^T is PSD by construction,
+    unlike the entrywise-rounded explicit inverse, which goes indefinite at
+    cond ~2e6 and collapses the GL-scale smoother (relres 1.0 vs 4.5e-4 —
+    benchmarks/bf16_mixed_diag.py; measured factored 4.07e-4 vs f32
+    4.04e-4 on the GL-shaped production case).  Covers the XLA smoother
+    AND the fused Pallas smoother (interpret mode) with the factored
+    block apply."""
+    bs, dims = 2, (16, 16)
+    outs = {}
+    for name, cfg in [
+        ("f32", PDEConfig(precision="f64")),
+        ("w_xla", PDEConfig(precision="f64",
+                            mg_precond_dtype="bf16_factored")),
+        ("w_fused", PDEConfig(precision="f64",
+                              mg_precond_dtype="bf16_factored",
+                              mg_smoother="chebyshev_fused",
+                              mg_smoother_residual=True,
+                              mg_fused_matvec=True)),
+    ]:
+        mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1,
+                            n_iv=1, init_index_mi_list=IVS_2D,
+                            solver_dbl=True, n_grid=2, config=cfg)
+        args = transport_args(bs, dims, mg)
+        st = jax.jit(lambda c, r, i, mg=mg, s=args[3]:
+                     mg.solve_stats(c, r, i, s))(*args[:3])
+        outs[name] = (float(np.asarray(st["rel_rnorm"]).max()),
+                      np.asarray(mg(*args)[0]))
+    r_base, u_base = outs["f32"]
+    for name in ("w_xla", "w_fused"):
+        r_k, u_k = outs[name]
+        # factored-bf16 is quality-indistinguishable from f32 (unlike plain
+        # bf16's ~10x cost) — pin at 2x
+        assert r_k < 2 * r_base + 1e-6, (name, r_k, r_base)
+        diff = np.abs(u_base - u_k).max() / np.abs(u_base).max()
+        assert diff < 1e-2, (name, diff)
+
+
 def test_fused_smoother_matches_xla_smoother():
     """ops/fused_smoother (single Pallas kernel per smoothing pass,
     interpret mode on CPU) reproduces MultigridSolver._smooth's Chebyshev
