@@ -351,3 +351,33 @@ def test_evolution_2d_gradients_match_fd():
             fd = (lp - lm) / (2 * eps)
             ad = float(np.asarray(g[ai])[idx])
             assert np.isclose(ad, fd, rtol=5e-4, atol=1e-6), (ai, idx, ad, fd)
+
+
+def test_bench_stale_fallback(tmp_path, monkeypatch, capsys):
+    """bench.py's outage watchdogs must emit the cached last-known-good
+    measurement labeled stale (round-3 recorded value=0.0 during a tunnel
+    outage, BENCH_r03.json) — and a well-formed zero line with no cache."""
+    import importlib.util
+    import json as _json
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setattr(bench, "CACHE_PATH", str(tmp_path / "cache.json"))
+    bench._emit_stale("outage")
+    line = _json.loads(capsys.readouterr().out.strip())
+    assert line["value"] == 0.0 and "outage" in line["extras"]["error"]
+
+    cached = {"metric": "m", "value": 5.5, "unit": "u", "vs_baseline": 1.4,
+              "extras": {"gl_step_seconds": 5.8}}
+    (tmp_path / "cache.json").write_text(_json.dumps(cached))
+    bench._emit_stale("outage2")
+    line = _json.loads(capsys.readouterr().out.strip())
+    assert line["value"] == 5.5 and line["vs_baseline"] == 1.4
+    assert line["extras"]["stale"] is True
+    assert "outage2" in line["extras"]["error"]
+    assert line["extras"]["gl_step_seconds"] == 5.8
