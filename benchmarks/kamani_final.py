@@ -89,7 +89,36 @@ def train_once(name: str, overrides: dict) -> None:
           f"exp_freeze={exp_freeze} exp_lr_scale={exp_lr_scale} "
           f"exp_l2={exp_l2} pnet_zero={pnet_zero} "
           f"pnet_scale={pnet_scale} ===", flush=True)
-    train(cfg)
+    params, model = train(cfg)
+
+    # committable evidence: logs/ does NOT survive round boundaries (the VM
+    # is recreated), so dump the learned equation + closed-loop criterion to
+    # a small JSON the agent copies into artifacts/ and commits.
+    import json
+
+    import numpy as np
+
+    from mech_nn_discovery_pde_tpu.discovery.kamani import (
+        closed_loop_error, true_params,
+    )
+
+    pr, er = (np.asarray(a) for a in model.get_params(params))
+    tp, te = true_params()
+    cle = closed_loop_error(pr, er)
+    out = {
+        "run": name, "epochs": epochs, "seed": seed,
+        "overrides": {"exp_bias": exp_bias, "pnet_zero": pnet_zero,
+                      "pnet_scale": pnet_scale, "exp_l2": exp_l2,
+                      "lr": lr, "l1": l1, "precision": precision},
+        "learned_coeffs": pr.tolist(), "learned_exps": er.tolist(),
+        "true_coeffs": np.asarray(tp).tolist(),
+        "true_exps": np.asarray(te).tolist(),
+        "closed_loop_rel_err": {str(a): e for a, e in cle.items()},
+    }
+    with open(os.path.join(log_dir, "final_params.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("closed-loop: " + ", ".join(f"a={a}: {e:.3f}" for a, e in cle.items()),
+          flush=True)
 
 
 def worker_healthy() -> bool:
