@@ -16,6 +16,17 @@ from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
 IVS_2D = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module compiles the suite's largest XLA:CPU programs (full MG
+    fwd+bwd graphs per test).  Keeping them all loaded exhausted process
+    mmap state late in the module and crashed mid-suite compiles/cache
+    loads with SIGSEGV (fine in isolation).  Drop executables after every
+    test; the persistent disk cache makes any re-JIT cheap."""
+    yield
+    jax.clear_caches()
+
+
 def transport_args(bs, dims, layer, k_mode=1):
     coeffs = np.zeros((bs, layer.grid_size, layer.n_orders))
     coeffs[..., 1] = 1.0
