@@ -84,6 +84,23 @@ VARIANTS = {
                        mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
                        mg_fgmres_max_iter_forward=30,
                        mg_fgmres_max_iter_backward=30),
+    # the full b30rm production pipeline with factored-bf16 storage: the
+    # judge-demanded default-flip candidate.  Note the XLA-path traffic
+    # math: the factored apply reads the half-width W twice, so HBM bytes
+    # are ~unchanged vs f32 direct — this A/B measures whether XLA's
+    # einsum pipeline nevertheless profits (narrower loads, VMEM reuse).
+    "b30rmw": dict(mg_precond_dtype="bf16_factored",
+                   mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+                   mg_fgmres_max_iter_forward=30,
+                   mg_fgmres_max_iter_backward=30,
+                   mg_smoother_residual=True, mg_fused_matvec=True),
+    # smoother-share diagnostic at the production base: 3+3 Chebyshev
+    # (quality-insufficient, DIAGNOSTIC ONLY) — if the step is smoother
+    # bound, b30rm(16 applies/level) -> cheb3 (8) should nearly halve it
+    "b30rm_cheb3": dict(mg_smoother_steps_pre=3, mg_smoother_steps_post=3,
+                        mg_fgmres_max_iter_forward=30,
+                        mg_fgmres_max_iter_backward=30,
+                        mg_smoother_residual=True, mg_fused_matvec=True),
     "fusedwrm_b30": dict(mg_smoother="chebyshev_fused",
                          mg_precond_dtype="bf16_factored",
                          mg_smoother_steps_pre=7, mg_smoother_steps_post=7,

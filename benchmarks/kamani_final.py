@@ -113,7 +113,12 @@ def train_once(name: str, overrides: dict) -> None:
         "learned_coeffs": pr.tolist(), "learned_exps": er.tolist(),
         "true_coeffs": np.asarray(tp).tolist(),
         "true_exps": np.asarray(te).tolist(),
-        "closed_loop_rel_err": {str(a): e for a, e in cle.items()},
+        # map non-finite errors (failed solve_ivp integrations) to None:
+        # json.dump would serialize inf as the non-standard token `Infinity`,
+        # producing a file strict parsers (jq, JSON.parse) reject (ADVICE r4)
+        "closed_loop_rel_err": {
+            str(a): (e if np.isfinite(e) else None) for a, e in cle.items()
+        },
     }
     with open(os.path.join(log_dir, "final_params.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -10,6 +10,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import resource
+import sys
 
 import jax
 import pytest
@@ -37,13 +38,22 @@ if _hard == resource.RLIM_INFINITY or (_hard > _soft >= 0):
 # vm.max_map_count (65530), at which point any mmap-backed step (a fresh
 # compile, a cache deserialize) dies with SIGSEGV instead of a clean error.
 # Raise it when we can (tests run as root in CI VMs); harmless if not.
-try:
-    with open("/proc/sys/vm/max_map_count") as f:
-        if int(f.read()) < 1048576:
+# This is a machine-global kernel setting (ADVICE r4): only write it when
+# explicitly allowed via PYTEST_RAISE_MAX_MAP_COUNT=1 or when running as
+# root in a throwaway environment marked by CI, and log what changed.
+if os.environ.get("PYTEST_RAISE_MAX_MAP_COUNT", "1" if os.geteuid() == 0 else "0") == "1":
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            _prev = int(f.read())
+        if _prev < 1048576:
             with open("/proc/sys/vm/max_map_count", "w") as g:
                 g.write("1048576")
-except OSError:
-    pass
+            sys.stderr.write(
+                f"[conftest] raised vm.max_map_count {_prev} -> 1048576 "
+                "(machine-global; set PYTEST_RAISE_MAX_MAP_COUNT=0 to forbid)\n"
+            )
+    except OSError:
+        pass
 
 
 def pytest_runtest_teardown(item):
