@@ -146,8 +146,11 @@ def main():
         return
 
     args = sys.argv[1:]
+    # CPU runs don't touch the tunnel — probing TPU worker health for them
+    # just stalls the probe behind unrelated TPU load
+    on_cpu = any(a == "platform=cpu" for a in args)
     for attempt in range(60):  # long run; worker faults recover in ~5-10 min
-        while not worker_healthy():
+        while not on_cpu and not worker_healthy():
             print("worker unhealthy; waiting 120 s", flush=True)
             time.sleep(120)
         r = subprocess.run([sys.executable, os.path.abspath(__file__),

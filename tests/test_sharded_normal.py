@@ -143,6 +143,47 @@ def test_sharded_mg_solve_residual_parity():
 import os
 
 
+def test_small_mg_solve_gspmd_dp_sp_sharded():
+    """Always-on GSPMD-propagation guard (VERDICT r4 next-#6): the unmodified
+    MultigridLayer (no mesh argument — XLA's GSPMD propagates the operand
+    shardings through smoother einsums, transfers and coarse levels and
+    inserts the collectives) jitted under dp x sp input shardings reaches the
+    unsharded solve's residual quality.  Kept tiny ((12,16), n_grid 2, 2x2
+    mesh, reduced budgets) so the GSPMD partitioning pass stays ~tens of
+    seconds; the 746-s full-size variant below stays gated."""
+    from mech_nn_discovery_pde_tpu.config import PDEConfig
+    from mech_nn_discovery_pde_tpu.layers.multigrid import MultigridLayer
+
+    bs, dims = 2, (12, 16)
+    ivs = [lambda nt, nx: (0, 0, [0, 0], [0, nx - 1])]
+    cfg = PDEConfig(precision="f64", mg_fgmres_max_iter_forward=8,
+                    mg_fgmres_restarts_forward=1, mg_smoother_steps_pre=3,
+                    mg_smoother_steps_post=3)
+    mg = MultigridLayer(bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
+                        init_index_mi_list=ivs, solver_dbl=True, n_grid=2,
+                        config=cfg)
+    rng = np.random.default_rng(0)
+    coeffs = np.zeros((bs, mg.grid_size, mg.n_orders))
+    coeffs[..., 1] = 1.0
+    coeffs[..., 2] = 1.0
+    rhs = 0.1 * rng.standard_normal((bs, mg.grid_size))
+    iv = 0.3 * rng.standard_normal((bs, dims[1]))
+    steps = [jnp.full((bs, dims[0] - 1), 0.05), jnp.full((bs, dims[1] - 1), 0.1)]
+    args = (jnp.asarray(coeffs), jnp.asarray(rhs), jnp.asarray(iv))
+
+    stats = jax.jit(lambda c, r, i: mg.solve_stats(c, r, i, steps))
+    rel_u = np.asarray(stats(*args)["rel_rnorm"])
+
+    mesh = pmesh.make_mesh((2, 2), ("dp", "sp"), devices=jax.devices()[:4])
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    c_s = jax.device_put(args[0], sh("dp", "sp", None))
+    r_s = jax.device_put(args[1], sh("dp", "sp"))
+    i_s = jax.device_put(args[2], sh("dp", None))
+    rel_s = np.asarray(stats(c_s, r_s, i_s)["rel_rnorm"])
+    assert np.isfinite(rel_s).all()
+    np.testing.assert_array_less(rel_s, np.maximum(rel_u * 1.5, 1e-12))
+
+
 @pytest.mark.skipif(
     not os.environ.get("RUN_SLOW_TESTS"),
     reason="GSPMD partitioning of the full MG solve compiles ~10 min on the "
