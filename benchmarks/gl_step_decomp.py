@@ -84,6 +84,26 @@ VARIANTS = {
                        mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
                        mg_fgmres_max_iter_forward=30,
                        mg_fgmres_max_iter_backward=30),
+    # round-5 smoother-budget candidates (benchmarks/smoother_budget_tpu.py
+    # quality battery on the same problem: cheb4+4@40 relres 4.13e-4 BEATS
+    # b30rm's 4.54e-4 at 3.85 vs 4.37 s fwd; all candidates beat the
+    # reference GS 5+5@40 bar of 3.1e-3)
+    "b40c4rm": dict(mg_smoother_steps_pre=4, mg_smoother_steps_post=4,
+                    mg_fgmres_max_iter_forward=40,
+                    mg_fgmres_max_iter_backward=40,
+                    mg_smoother_residual=True, mg_fused_matvec=True),
+    "b35c4rm": dict(mg_smoother_steps_pre=4, mg_smoother_steps_post=4,
+                    mg_fgmres_max_iter_forward=35,
+                    mg_fgmres_max_iter_backward=35,
+                    mg_smoother_residual=True, mg_fused_matvec=True),
+    "b30c4rm": dict(mg_smoother_steps_pre=4, mg_smoother_steps_post=4,
+                    mg_fgmres_max_iter_forward=30,
+                    mg_fgmres_max_iter_backward=30,
+                    mg_smoother_residual=True, mg_fused_matvec=True),
+    "b35c3rm": dict(mg_smoother_steps_pre=3, mg_smoother_steps_post=3,
+                    mg_fgmres_max_iter_forward=35,
+                    mg_fgmres_max_iter_backward=35,
+                    mg_smoother_residual=True, mg_fused_matvec=True),
     # the full b30rm production pipeline with factored-bf16 storage: the
     # judge-demanded default-flip candidate.  Note the XLA-path traffic
     # math: the factored apply reads the half-width W twice, so HBM bytes

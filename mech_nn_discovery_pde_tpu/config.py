@@ -106,7 +106,7 @@ class PDEConfig:
     # coef alone costs 25x (benchmarks/bf16_{collapse,factor,attrib,
     # mixed}_diag.py).
     #
-    # 'bf16_factored' is the production low-precision mode: store the
+    # 'bf16_factored' is the quality-safe low-precision mode: store the
     # PSD square-root factor W = L^-T (B^-1 = W W^T) in bf16 and apply
     # W (W^T r) — round(W) round(W)^T is PSD BY CONSTRUCTION, so the
     # smoother stays SPD and quality is indistinguishable from f32
@@ -114,6 +114,13 @@ class PDEConfig:
     # coef/coarse_inv stay f32 (coef bf16 is the 25x loser).  binv bytes
     # halve: the GL fine level (W bf16 6.4 MB + coef f32 4.3 MB) fits the
     # fused kernel's VMEM budget with near-f32 quality.
+    #
+    # Default stays 'f32' on a MEASURED same-session A/B (round 5): on the
+    # XLA path the factored apply z = W (W^T r) reads the half-width W
+    # twice, so HBM bytes are unchanged and the bf16 einsums additionally
+    # lose layout efficiency — b30rm 7.70 s vs +bf16_factored 10.57 s
+    # (1.37x slower).  The byte win is only realizable by the VMEM-resident
+    # fused smoother, which the axon Mosaic backend still cannot compile.
     mg_precond_dtype: str = "f32"
     # dtype of the outer FGMRES iteration on the fine normal equations:
     # 'solver' (= f64 when solver_dbl) or 'f32'.  f32 halves the fine-matvec
