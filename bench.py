@@ -97,21 +97,26 @@ def _bench_gl(jax, jnp, np, extend_deadline=lambda s: None):
         lambda nt, nx, ny: (1, 0, [1, nx - 1, 1], [nt - 1, nx - 1, ny - 1]),
         lambda nt, nx, ny: (2, 0, [1, 1, ny - 1], [nt - 1, nx - 2, ny - 1]),
     ]
-    # Production config "b30rm" (benchmarks/gl_step_decomp.py A/B, 2026-08-19
-    # same-session: base 12.02 s -> b30rm 7.28 s): Chebyshev 7+7 smoothing at
-    # FGMRES 30 fwd / 30 bwd with V-cycle residual reuse and the fused Krylov
-    # matvec.  Quality-grounded, not a budget cut: cheb 7+7 relres@30 =
-    # 1.8e-3 < the reference's own GS 5+5 relres@40 = 3.1e-3 (faithful scipy
-    # replication, benchmarks/budget_quality.py), and the full-solve parity
-    # A/B (benchmarks/fused_matvec_quality.py) pins b30rm at 4.508e-4 vs the
-    # full-budget 4.509e-4 on the GL-shaped system.
+    # Production config "b30c4rm" (round-5 smoother-budget study): Chebyshev
+    # 4+4 smoothing at FGMRES 30 fwd / 30 bwd with V-cycle residual reuse
+    # and the fused Krylov matvec.  Quality-grounded on the BENCH PROBLEM
+    # ITSELF (benchmarks/smoother_budget_tpu.py, TPU): fwd relres@30 =
+    # 1.25e-3, i.e. 2.5x BETTER than the reference's own GS 5+5 @40 bar of
+    # 3.1e-3 (faithful scipy replication, benchmarks/ref_gs_replication.py).
+    # Same-session full-step A/B (benchmarks/gl_step_decomp.py, 2026-08-19):
+    # b30rm 7.50 s -> b35c4rm 6.21 s (cheb4+4@35, relres 4.13e-4, BETTER
+    # than b30rm's 4.54e-4) -> b30c4rm 4.97 s (1.51x).  Background: the
+    # cheb3 decomp showed the smoother is ~90% of the step, and the quality
+    # battery showed cheb4+4 is past the strength knee (its relres floor is
+    # 4.13e-4 vs cheb3+3's 1.77e-3), so trading smoother sweeps for Krylov
+    # iterations wins at fixed quality.
     layer = MultigridLayer(
         bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
         init_index_mi_list=ivs, solver_dbl=True, n_grid=ng,
         downsample_first=False,
         config=PDEConfig(
             precision="f32_ir", mg_solve_dtype="f32",
-            mg_smoother_steps_pre=7, mg_smoother_steps_post=7,
+            mg_smoother_steps_pre=4, mg_smoother_steps_post=4,
             mg_fgmres_max_iter_forward=30, mg_fgmres_max_iter_backward=30,
             mg_smoother_residual=True, mg_fused_matvec=True,
         ),
