@@ -38,16 +38,21 @@ def main():
     from mech_nn_discovery_pde_tpu.discovery.burgers import BurgersConfig, train
 
     log_dir = f"logs/burgers_shipped{over.pop('tag', '')}"
+    # robustness knob: reference noise_factor=20 == 20% of the data RMS
+    # (burgers_dparam_viscous.py:60-61,96-100; shipped default noise=False)
+    noise = float(over.pop("noise", 0.0))
     os.makedirs(log_dir, exist_ok=True)
     assert not over, f"unknown overrides {over}"
     cfg = BurgersConfig(
         epochs=epochs, resume_from=log_dir, ckpt_every=10,
+        noise_percent=noise,
         # shipped defaults: nn_transform=True, lr 5e-6, L1 5e-3, bs 10,
         # steps_per_epoch=None (full pass) — all BurgersConfig defaults
         pde=PDEConfig(precision="f32_ir", log_solves=False),
     )
     print(f"=== Burgers shipped-default: nn_transform={cfg.nn_transform} "
-          f"lr={cfg.lr} l1={cfg.param_l1} epochs={epochs} ===", flush=True)
+          f"lr={cfg.lr} l1={cfg.param_l1} noise={noise}% epochs={epochs} ===",
+          flush=True)
     for attempt in range(30):
         try:
             train(cfg)
