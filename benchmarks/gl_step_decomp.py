@@ -100,6 +100,13 @@ VARIANTS = {
                     mg_fgmres_max_iter_forward=30,
                     mg_fgmres_max_iter_backward=30,
                     mg_smoother_residual=True, mg_fused_matvec=True),
+    # round-5 late candidate: one more Krylov-budget notch below b30c4rm.
+    # Gate on benchmarks/smoother_budget_tpu.py 4:4:25 relres < the 3.1e-3
+    # reference bar before considering a production flip.
+    "b25c4rm": dict(mg_smoother_steps_pre=4, mg_smoother_steps_post=4,
+                    mg_fgmres_max_iter_forward=25,
+                    mg_fgmres_max_iter_backward=25,
+                    mg_smoother_residual=True, mg_fused_matvec=True),
     "b35c3rm": dict(mg_smoother_steps_pre=3, mg_smoother_steps_post=3,
                     mg_fgmres_max_iter_forward=35,
                     mg_fgmres_max_iter_backward=35,
