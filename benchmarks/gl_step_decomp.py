@@ -107,6 +107,18 @@ VARIANTS = {
                     mg_fgmres_max_iter_forward=25,
                     mg_fgmres_max_iter_backward=25,
                     mg_smoother_residual=True, mg_fused_matvec=True),
+    # dispatch-bound scaling probe: same production pipeline at bs 64.
+    # The exact-traffic roofline says the step runs at ~11% of HBM bound
+    # with the gap attributed to the ~80 us/kernel launch floor; if that
+    # attribution is right, per-solve throughput (bs/step_time) should
+    # rise sharply with batch width.  Extras/documentation only — the
+    # reference GL workload is bs 32 (BASELINE.md) and the bench headline
+    # stays there.
+    "b30c4rm_bs64": dict(bs=64, mg_smoother_steps_pre=4,
+                         mg_smoother_steps_post=4,
+                         mg_fgmres_max_iter_forward=30,
+                         mg_fgmres_max_iter_backward=30,
+                         mg_smoother_residual=True, mg_fused_matvec=True),
     "b35c3rm": dict(mg_smoother_steps_pre=3, mg_smoother_steps_post=3,
                     mg_fgmres_max_iter_forward=35,
                     mg_fgmres_max_iter_backward=35,
@@ -140,7 +152,7 @@ VARIANTS = {
 def build_step(name):
     over = dict(VARIANTS[name])
     ng = over.pop("n_grid", 3)
-    bs, dims = 32, (8, 32, 32)
+    bs, dims = over.pop("bs", 32), (8, 32, 32)
     ivs = [
         lambda nt, nx, ny: (0, 0, [0, 0, 0], [0, nx - 1, ny - 1]),
         lambda nt, nx, ny: (1, 0, [1, 0, 0], [nt - 1, 0, ny - 1]),
