@@ -110,6 +110,12 @@ def _bench_gl(jax, jnp, np, extend_deadline=lambda s: None):
     # battery showed cheb4+4 is past the strength knee (its relres floor is
     # 4.13e-4 vs cheb3+3's 1.77e-3), so trading smoother sweeps for Krylov
     # iterations wins at fixed quality.
+    # NOTE on budget granularity: the FGMRES driver advances in
+    # restart-window units (solvers/krylov.py `it += restart` with
+    # window=10), so maxiter only matters in steps of 10 here — a "b25"
+    # config runs the identical 3 windows as b30 (verified: relres matches
+    # to 4 digits, 1.249e-3).  The next real notch down is 20 iterations
+    # (b20c4rm), gated on the same 3.1e-3 reference bar.
     layer = MultigridLayer(
         bs=bs, coord_dims=dims, order=2, n_ind_dim=1, n_iv=1,
         init_index_mi_list=ivs, solver_dbl=True, n_grid=ng,
